@@ -1,0 +1,356 @@
+package graft.lake
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * LakeTable — an Iceberg-v2-*semantics* snapshot table format on Parquet.
+ *
+ * No Iceberg/Delta/Hudi jar ships in this environment, so the table
+ * format is implemented from scratch, but deliberately tiny:
+ *
+ *   root/
+ *     snapshots/v00000001.json   -- immutable snapshot descriptors
+ *     data/bucket=K/<uuid>.parquet
+ *
+ * A snapshot records: schema history (schema-id chain, additive
+ * evolution only), the manifest (data files with bucket + row count +
+ * lsn min/max stats), a summary (last applied streaming batch-id,
+ * per-shard lsn high-watermarks) and per-partition lineage entries
+ * (source offset range -> this snapshot id).
+ *
+ * Commit protocol = write-temp-then-rename, the same two-phase pattern
+ * the reference uses for atomic file output (DataX
+ * `hdfswriter/.../HdfsWriter.java:193-194` + `HdfsHelper.renameFile:207-233`:
+ * tasks write `path__<uuid>` temp files, job post() renames). Here the
+ * *snapshot descriptor* rename is the commit point: readers discover the
+ * table state by listing `snapshots/` and taking the max version, so a
+ * crash mid-commit leaves only ignored `.tmp` files and orphan data files
+ * (cleaned by `vacuum()`); a concurrent committer loses the rename race
+ * (same-name rename fails) and retries against the new state.
+ *
+ * Row-level upserts/deletes are copy-on-write at hash-bucket granularity:
+ * the table is bucketed by `pmod(xxhash64(doc_id), nBuckets)`; a MERGE
+ * rewrites only touched buckets (see [[graft.apply.BatchApply]]). Deletes
+ * are retained as `_deleted` tombstones carrying their lsn, which makes
+ * applying a batch idempotent and order-insensitive (a late lower-lsn
+ * change can never overwrite a newer state); `compact()` purges
+ * tombstones once they are no longer needed for fencing.
+ *
+ * Scale notes: nBuckets is the write-amplification knob — at 100 TB you
+ * raise it (2^12..2^16) so a micro-batch touches a small fraction of
+ * files and each rewrite fits an executor. All bucket pruning happens on
+ * the driver against the manifest (thousands of entries, not data).
+ */
+object LakeTable {
+
+  /** System columns appended to the user schema on every data file. */
+  val LsnCol = "_lsn"
+  val DeletedCol = "_deleted"
+
+  final case class DataFile(path: String, bucket: Int, rows: Long, minLsn: Long, maxLsn: Long, schemaId: Int)
+
+  final case class LineageEntry(batchId: Long, shard: Int, minLsn: Long, maxLsn: Long, rows: Long)
+
+  final case class Snapshot(
+      version: Long,
+      parent: Long, // -1 for first
+      schemaId: Int,
+      schemas: Map[Int, StructType], // user schemas by id
+      nBuckets: Int,
+      files: Seq[DataFile],
+      batchId: Long, // last applied streaming batch id (-1 = none)
+      watermarks: Map[Int, Long], // shard -> max applied lsn
+      lineage: Seq[LineageEntry]) { // offset ranges this snapshot applied
+
+    def schema: StructType = schemas(schemaId)
+
+    /** physical schema = user schema + system columns */
+    def physicalSchema(id: Int): StructType =
+      StructType(schemas(id).fields :+
+        StructField(LsnCol, LongType, nullable = false) :+
+        StructField(DeletedCol, BooleanType, nullable = false))
+  }
+
+  def bucketExpr(docId: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(docId), lit(nBuckets.toLong)).cast("int")
+
+  // ---------------------------------------------------------------- json
+
+  private def snapToJson(s: Snapshot): JValue = JObject(
+    "version" -> JLong(s.version),
+    "parent" -> JLong(s.parent),
+    "schemaId" -> JInt(s.schemaId),
+    "schemas" -> JArray(s.schemas.toList.sortBy(_._1).map { case (id, st) =>
+      JObject("id" -> JInt(id), "struct" -> JsonMethods.parse(st.json))
+    }),
+    "nBuckets" -> JInt(s.nBuckets),
+    "files" -> JArray(s.files.toList.map(f => JObject(
+      "path" -> JString(f.path), "bucket" -> JInt(f.bucket), "rows" -> JLong(f.rows),
+      "minLsn" -> JLong(f.minLsn), "maxLsn" -> JLong(f.maxLsn), "schemaId" -> JInt(f.schemaId)))),
+    "batchId" -> JLong(s.batchId),
+    "watermarks" -> JObject(s.watermarks.toList.sortBy(_._1).map { case (k, v) => k.toString -> JLong(v) }),
+    "lineage" -> JArray(s.lineage.toList.map(l => JObject(
+      "batchId" -> JLong(l.batchId), "shard" -> JInt(l.shard),
+      "minLsn" -> JLong(l.minLsn), "maxLsn" -> JLong(l.maxLsn), "rows" -> JLong(l.rows)))))
+
+  private def snapFromJson(j: JValue): Snapshot = {
+    implicit val fmts: Formats = DefaultFormats
+    def l(v: JValue): Long = v.extract[Long]
+    def i(v: JValue): Int = v.extract[Int]
+    Snapshot(
+      version = l(j \ "version"),
+      parent = l(j \ "parent"),
+      schemaId = i(j \ "schemaId"),
+      schemas = (j \ "schemas").asInstanceOf[JArray].arr.map { s =>
+        i(s \ "id") -> DataType.fromJson(JsonMethods.compact(s \ "struct")).asInstanceOf[StructType]
+      }.toMap,
+      nBuckets = i(j \ "nBuckets"),
+      files = (j \ "files").asInstanceOf[JArray].arr.map { f =>
+        DataFile((f \ "path").extract[String], i(f \ "bucket"), l(f \ "rows"),
+          l(f \ "minLsn"), l(f \ "maxLsn"), i(f \ "schemaId"))
+      },
+      batchId = l(j \ "batchId"),
+      watermarks = (j \ "watermarks").asInstanceOf[JObject].obj.map { case (k, v) => k.toInt -> l(v) }.toMap,
+      lineage = (j \ "lineage").asInstanceOf[JArray].arr.map { e =>
+        LineageEntry(l(e \ "batchId"), i(e \ "shard"), l(e \ "minLsn"), l(e \ "maxLsn"), l(e \ "rows"))
+      })
+  }
+
+  // ------------------------------------------------------------- create
+
+  def create(spark: SparkSession, root: String, userSchema: StructType, nBuckets: Int): LakeTable = {
+    val t = new LakeTable(spark, root)
+    t.fs.mkdirs(new Path(root, "snapshots"))
+    t.fs.mkdirs(new Path(root, "data"))
+    val s0 = Snapshot(0L, -1L, 0, Map(0 -> userSchema), nBuckets, Nil, -1L, Map.empty, Nil)
+    t.writeSnapshot(s0)
+    t
+  }
+
+  def load(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(root, "snapshots")) &&
+      fs.listStatus(new Path(root, "snapshots")).exists(_.getPath.getName.matches("v\\d+\\.json"))
+  }
+}
+
+class LakeTable(val spark: SparkSession, val root: String) {
+  import LakeTable._
+
+  private[lake] val fs: FileSystem =
+    FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+  private val snapDir = new Path(root, "snapshots")
+
+  // ------------------------------------------------------------ snapshots
+
+  /** Current snapshot = max committed version (readers never see partial
+    * state: the descriptor rename is the commit point). */
+  def current: Snapshot = snapshotAt(currentVersion)
+
+  def currentVersion: Long = listVersions.max
+
+  def listVersions: Seq[Long] = {
+    val vs = fs.listStatus(snapDir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.json") => n.stripPrefix("v").stripSuffix(".json").toLong }
+    if (vs.isEmpty) throw new IllegalStateException(s"no snapshots under $root")
+    vs.toSeq.sorted
+  }
+
+  def snapshotAt(v: Long): Snapshot = {
+    val in = fs.open(new Path(snapDir, f"v$v%08d.json"))
+    try snapFromJson(JsonMethods.parse(in)) finally in.close()
+  }
+
+  private[lake] def writeSnapshot(s: Snapshot): Boolean = {
+    val target = new Path(snapDir, f"v${s.version}%08d.json")
+    val tmp = new Path(snapDir, s".tmp-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(JsonMethods.pretty(snapToJson(s)).getBytes("UTF-8")) finally out.close()
+    // commit point: same-directory rename; loses the race if target exists
+    val ok = !fs.exists(target) && fs.rename(tmp, target)
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Physical rows (tombstones + system cols included), aligned to the
+    * current schema. `buckets=Some(set)` prunes the scan to those buckets
+    * using manifest metadata only. */
+  def readPhysical(buckets: Option[Set[Int]] = None, snapshot: Option[Snapshot] = None): DataFrame = {
+    val s = snapshot.getOrElse(current)
+    val files = buckets match {
+      case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
+      case None => s.files
+    }
+    val targetPhys = s.physicalSchema(s.schemaId)
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetPhys)
+    } else {
+      // group by schema-id; align older files to the current schema:
+      // missing columns -> null, widened columns -> cast (additive only)
+      files.groupBy(_.schemaId).map { case (sid, fl) =>
+        val df = spark.read.schema(s.physicalSchema(sid))
+          .parquet(fl.map(f => s"$root/${f.path}"): _*)
+        align(df, targetPhys)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(target.fields.map { f =>
+      have.get(f.name) match {
+        case Some(src) => SchemaCompat.castTo(col(f.name), src, f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** User-visible rows: tombstones filtered, system columns dropped. */
+  def read(snapshot: Option[Snapshot] = None): DataFrame =
+    readPhysical(None, snapshot).filter(!col(DeletedCol)).drop(LsnCol, DeletedCol)
+
+  def read(): DataFrame = read(None)
+
+  // --------------------------------------------------------------- write
+
+  /** Write `df` (physical rows WITH a `bucket` column) as one parquet file
+    * per touched bucket under data/, returning manifest entries. Not yet
+    * visible — call [[commit]] to publish. */
+  def writeDataFiles(df: DataFrame, schemaId: Int): Seq[DataFile] = {
+    val s = current
+    val tmpName = s"stage-${UUID.randomUUID()}"
+    val stage = new Path(root, tmpName)
+    val phys = s.physicalSchema(schemaId)
+    val cols = phys.fieldNames.map(col).toIndexedSeq :+ col("bucket")
+    df.select(cols: _*)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+
+    // move part files into data/, collect per-file stats from footers-free
+    // aggregate (one small job over the staged files)
+    val staged = spark.read.schema(StructType(phys.fields :+ StructField("bucket", IntegerType)))
+      .option("basePath", stage.toString).parquet(stage.toString)
+    val stats = staged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"), min(col(LsnCol)).as("minLsn"), max(col(LsnCol)).as("maxLsn"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val entries = scala.collection.mutable.ArrayBuffer[DataFile]()
+    fs.listStatus(stage).filter(_.isDirectory).foreach { d =>
+      val b = d.getPath.getName.stripPrefix("bucket=").toInt
+      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+        val name = s"bucket=$b/${UUID.randomUUID()}.parquet"
+        val dst = new Path(root, s"data/$name")
+        fs.mkdirs(dst.getParent)
+        fs.rename(f.getPath, dst)
+        val (rows, minL, maxL) = stats(b)
+        entries += DataFile(s"data/$name", b, rows, minL, maxL, schemaId)
+      }
+    }
+    fs.delete(stage, true)
+    entries.toSeq
+  }
+
+  /** Publish a new snapshot: replace all files of `replacedBuckets` with
+    * `newFiles`, advance batch/watermark/lineage metadata. Retries are the
+    * caller's concern (single-writer pipelines never race). Returns the
+    * committed snapshot. */
+  def commit(
+      newFiles: Seq[DataFile],
+      replacedBuckets: Set[Int],
+      batchId: Long,
+      newWatermarks: Map[Int, Long],
+      lineage: Seq[LineageEntry],
+      expectedVersion: Long): Snapshot = {
+    val s = snapshotAt(expectedVersion)
+    if (currentVersion != expectedVersion)
+      throw new IllegalStateException(s"concurrent commit: expected v$expectedVersion, found v$currentVersion")
+    val kept = s.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    val next = s.copy(
+      version = s.version + 1,
+      parent = s.version,
+      files = kept ++ newFiles,
+      batchId = batchId,
+      watermarks = s.watermarks ++ newWatermarks.map { case (k, v) =>
+        k -> math.max(v, s.watermarks.getOrElse(k, Long.MinValue))
+      },
+      lineage = lineage)
+    if (!writeSnapshot(next))
+      throw new IllegalStateException(s"commit race on v${next.version}")
+    next
+  }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** Additive schema evolution: appended nullable columns and integral
+    * widening (int->long) only — the Iceberg-v2 safe subset. Metadata-only
+    * commit (existing files are aligned at read time by schema-id). */
+  def evolveSchema(newSchema: StructType): Snapshot = {
+    val s = current
+    val old = s.schema
+    if (newSchema.json == old.json) return s
+    val oldByName = old.fields.map(f => f.name -> f).toMap
+    newSchema.fields.foreach { f =>
+      oldByName.get(f.name) match {
+        case None =>
+          require(f.nullable, s"new column ${f.name} must be nullable")
+        case Some(prev) =>
+          val widen = (prev.dataType, f.dataType) match {
+            case (a, b) if a == b => true
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(widen, s"non-additive change on ${f.name}: ${prev.dataType} -> ${f.dataType}")
+      }
+    }
+    old.fields.foreach { f =>
+      require(newSchema.fieldNames.contains(f.name), s"column drop not allowed: ${f.name}")
+    }
+    val nid = s.schemaId + 1
+    val next = s.copy(version = s.version + 1, parent = s.version,
+      schemaId = nid, schemas = s.schemas + (nid -> newSchema))
+    if (!writeSnapshot(next)) throw new IllegalStateException("evolve commit race")
+    next
+  }
+
+  // ------------------------------------------------------------- maintain
+
+  /** Rewrite buckets that contain tombstones, dropping them. Safe once the
+    * upstream no longer replays lsns below the tombstone lsn (i.e. past
+    * the checkpoint watermark). */
+  def compact(): Snapshot = {
+    val s = current
+    val tomb = readPhysical(None, Some(s)).filter(col(DeletedCol))
+      .select(bucketExpr(col("doc_id"), s.nBuckets)).distinct().collect().map(_.getInt(0)).toSet
+    if (tomb.isEmpty) return s
+    val live = readPhysical(Some(tomb), Some(s)).filter(!col(DeletedCol))
+      .withColumn("bucket", bucketExpr(col("doc_id"), s.nBuckets))
+    val files = writeDataFiles(live, s.schemaId)
+    commit(files, tomb, s.batchId, Map.empty, Nil, s.version)
+  }
+
+  /** Delete data files not referenced by the latest snapshot (crash debris,
+    * superseded COW files). */
+  def vacuum(): Unit = {
+    val s = current
+    val referenced = s.files.map(f => new Path(root, f.path).toUri.getPath).toSet
+    val dataDir = new Path(root, "data")
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (!referenced.contains(st.getPath.toUri.getPath)) fs.delete(st.getPath, false)
+    }
+    if (fs.exists(dataDir)) walk(dataDir)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.stream
+
+import graft.apply.BatchApply
+import graft.lake.LakeTable
+import graft.model.ChangeLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructField, StructType}
+
+/**
+ * Replay — the Structured Streaming pipeline that tails the ordered
+ * change log and applies it to the lake table.
+ *
+ * This replaces the reference's whole job model (Reader -> Channel ->
+ * Writer, `core/.../job/JobContainer.java:96-182`) with:
+ *
+ *   readStream(file source over log segments, maxFilesPerTrigger)
+ *     -> foreachBatch(BatchApply)  with checkpointLocation
+ *
+ * Resume semantics (north rule + reference `otsstreamreader` §3.3):
+ * Spark's checkpoint persists source offsets (which segment files each
+ * batch covered — the analog of DataX's per-shard (iterator, skipCount)
+ * checkpoints, `RecordProcessor.java:186-239`); the lake snapshot
+ * persists the last applied batchId + per-shard lsn watermarks (the
+ * analog of DataX's stream-job `version` fencing,
+ * `OTSStreamReaderSlaveProxy.java:270-285`). Killing the query at any
+ * point and restarting with the same checkpoint re-plans the in-flight
+ * batch with the same batchId; BatchApply's fence skips it if the commit
+ * already landed — no duplicates, no loss.
+ *
+ * Rate limiting: `maxFilesPerTrigger` bounds the events per micro-batch,
+ * the declarative analog of DataX's channel byte/record flow control
+ * (`core/.../channel/Channel.java:176-239`).
+ */
+object Replay {
+
+  /** Initial (pre-evolution) user schema of the doc store. */
+  val initialSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("n_tok", IntegerType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  /** Thrown to simulate a mid-replay crash in kill/resume tests. */
+  final class SimulatedKill extends RuntimeException("graft-simulated-kill")
+
+  def createTable(spark: SparkSession, tableDir: String, nBuckets: Int): LakeTable =
+    LakeTable.create(spark, tableDir, initialSchema, nBuckets)
+
+  /** Replay everything currently in `logDir` into `tableDir`, resuming
+    * from `checkpointDir` if it exists. Blocks until the log is drained
+    * (Trigger.AvailableNow). `stopAfterBatches` kills the query (after
+    * the sink commit, before the checkpoint advances) to exercise the
+    * crash/resume path. */
+  def replay(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      nBuckets: Int = 64,
+      maxFilesPerTrigger: Int = Int.MaxValue,
+      saltBuckets: Int = 1,
+      stopAfterBatches: Int = Int.MaxValue): LakeTable = {
+
+    val table =
+      if (LakeTable.exists(spark, tableDir)) LakeTable.load(spark, tableDir)
+      else createTable(spark, tableDir, nBuckets)
+
+    val stream = spark.readStream
+      .schema(ChangeLog.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(logDir)
+
+    var batches = 0
+    val query = stream.writeStream
+      .queryName("graft-replay")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BatchApply.apply(table, batch, batchId, saltBuckets)
+        batches += 1
+        // crash AFTER the lake commit but BEFORE the streaming checkpoint
+        // records completion — the worst-case window for duplicates
+        if (batches >= stopAfterBatches) throw new SimulatedKill
+        ()
+      }
+      .start()
+    try query.awaitTermination()
+    catch {
+      case e: StreamingQueryException
+        if causeChain(e).exists(_.isInstanceOf[SimulatedKill]) => () // expected
+    }
+    table
+  }
+
+  private def causeChain(t: Throwable): Iterator[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+}

@@ -1,0 +1,141 @@
+package graft
+
+import graft.apply.BatchApply
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+import graft.model.GenConfig
+import graft.stream.Replay
+import graft.verify.Oracle
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val cfg = GenConfig(nEvents = 20000, nDocs = 3000, nShards = 4,
+    hotPerMille = 100, nHotDocs = 4, avgTokens = 16, nSegments = 8,
+    evolveAtLsn = 12000)
+
+  test("generator is deterministic and shard-sticky") {
+    spark.sparkContext.setLogLevel("WARN")
+    val a = ChangeLogGen.events(spark, cfg)
+    val b = ChangeLogGen.events(spark, cfg)
+    val ha = a.agg(bit_xor(xxhash64(struct(a.columns.map(col): _*)))).head.getLong(0)
+    val hb = b.agg(bit_xor(xxhash64(struct(b.columns.map(col): _*)))).head.getLong(0)
+    assert(ha == hb)
+    // doc_id -> shard is a function (shard-sticky keys)
+    val multiShard = a.groupBy("doc_id").agg(countDistinct("shard").as("n"))
+      .filter(col("n") > 1).count()
+    assert(multiShard == 0)
+    // lsn dense & unique
+    assert(a.select("lsn").distinct().count() == cfg.nEvents)
+  }
+
+  test("single-batch MERGE matches the sequential oracle") {
+    val log = ChangeLogGen.events(spark, cfg).cache()
+    val dir = tmpDir("graft-batch")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 16)
+    BatchApply.apply(table, log, batchId = 0)
+    val expected = Oracle.expectedState(spark, log)
+    val mismatches = Oracle.diff(expected, table.read())
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+    // schema evolved mid-log => lang present, n_tok widened
+    val sch = table.current.schema
+    assert(sch.fieldNames.contains("lang"))
+    assert(sch("n_tok").dataType == org.apache.spark.sql.types.LongType)
+    log.unpersist()
+  }
+
+  test("re-applying a committed batch is a no-op (idempotent MERGE)") {
+    val log = ChangeLogGen.events(spark, cfg).cache()
+    val dir = tmpDir("graft-idem")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 16)
+    BatchApply.apply(table, log, batchId = 0)
+    val v1 = table.currentVersion
+    // batch-id fence: same batchId skipped outright
+    BatchApply.apply(table, log, batchId = 0)
+    assert(table.currentVersion == v1)
+    // per-row lsn guard: same DATA under a new batchId still converges
+    BatchApply.apply(table, log, batchId = 1)
+    val mismatches = Oracle.diff(Oracle.expectedState(spark, log), table.read())
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+    log.unpersist()
+  }
+
+  test("streaming replay (multi-batch) matches oracle; lineage + watermarks recorded") {
+    val dir = tmpDir("graft-stream")
+    ChangeLogGen.write(spark, cfg, s"$dir/log")
+    val table = Replay.replay(spark, s"$dir/log", s"$dir/table", s"$dir/cp",
+      nBuckets = 16, maxFilesPerTrigger = 2)
+    val log = spark.read.schema(graft.model.ChangeLog.schema).parquet(s"$dir/log")
+    val mismatches = Oracle.diff(Oracle.expectedState(spark, log), table.read())
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+    val snap = table.current
+    assert(snap.watermarks.values.max == cfg.nEvents - 1 ||
+      snap.watermarks.nonEmpty) // per-shard high watermarks advanced
+    assert(snap.lineage.nonEmpty) // offset range -> snapshot lineage present
+    assert(snap.batchId >= 0)
+  }
+
+  test("kill mid-replay, resume from checkpoint: no duplicates, no loss") {
+    val dir = tmpDir("graft-resume")
+    ChangeLogGen.write(spark, cfg, s"$dir/log")
+    // crash after 2 committed batches (commit lands, checkpoint may not)
+    Replay.replay(spark, s"$dir/log", s"$dir/table", s"$dir/cp",
+      nBuckets = 16, maxFilesPerTrigger = 1, stopAfterBatches = 2)
+    val t1 = LakeTable.load(spark, s"$dir/table")
+    assert(t1.current.batchId >= 0 && t1.read().count() > 0)
+    // resume: the in-flight batch is replayed with the same batchId and fenced
+    val table = Replay.replay(spark, s"$dir/log", s"$dir/table", s"$dir/cp",
+      nBuckets = 16, maxFilesPerTrigger = 1)
+    val log = spark.read.schema(graft.model.ChangeLog.schema).parquet(s"$dir/log")
+    val mismatches = Oracle.diff(Oracle.expectedState(spark, log), table.read())
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+  }
+
+  test("partition checksums match between engine state and oracle") {
+    val log = ChangeLogGen.events(spark, cfg.copy(nEvents = 5000)).cache()
+    val dir = tmpDir("graft-cksum")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 16)
+    BatchApply.apply(table, log, batchId = 0)
+    val a = Oracle.partitionChecksums(table.read(), 16).orderBy("bucket").collect()
+    val b = Oracle.partitionChecksums(Oracle.expectedState(spark, log), 16).orderBy("bucket").collect()
+    assert(a.sameElements(b))
+    log.unpersist()
+  }
+
+  test("compaction purges tombstones without changing the visible state") {
+    val log = ChangeLogGen.events(spark, cfg.copy(nEvents = 5000)).cache()
+    val dir = tmpDir("graft-compact")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 16)
+    BatchApply.apply(table, log, batchId = 0)
+    val before = table.read().count()
+    val tombBefore = table.readPhysical().filter(col(LakeTable.DeletedCol)).count()
+    assert(tombBefore > 0)
+    table.compact()
+    assert(table.readPhysical().filter(col(LakeTable.DeletedCol)).count() == 0)
+    assert(table.read().count() == before)
+    val mismatches = Oracle.diff(Oracle.expectedState(spark, log), table.read())
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+    log.unpersist()
+  }
+
+  test("schema evolution rejects non-additive changes") {
+    val dir = tmpDir("graft-evolve")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 4)
+    val bad = org.apache.spark.sql.types.StructType(
+      table.current.schema.fields.filterNot(_.name == "source"))
+    intercept[IllegalArgumentException](table.evolveSchema(bad))
+  }
+}
