@@ -1,24 +1,126 @@
 package graft
+
+import graft.gen.ChangeLogGen
+import graft.model.GenConfig
+import graft.stream.Replay
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main — emits ONE JSON line the driver stores as BENCH_r{N}.json.
+ *
+ * Two parts:
+ *  1. operator queries: every SparkEntry query timed once on
+ *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (default 32).
+ *  2. the north-rule CDC metric: an identical synthetic binlog replayed
+ *     end-to-end (Structured Streaming -> foreachBatch MERGE -> LakeTable)
+ *     at TWO parallelism levels, local[8] (N) and local[32] (4N), same
+ *     input bytes — reporting change-events/sec at both and the scaling
+ *     efficiency tput(4N) / (4 * tput(N)). This is the sandbox stand-in
+ *     for the N-vs-4N-executor cluster criterion (BASELINE.md): with no
+ *     real cluster, cores are the unit of parallelism and shuffle
+ *     partitions scale with cores, exactly as executors would.
+ *     A second, smaller replay measures hot-key skew handling (axis B):
+ *     the same Zipf-skewed log applied with and without two-phase
+ *     salting ([[graft.apply.BatchApply.canonicalize]]).
+ *
+ * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+ * SPARK_GRAFT_BENCH_EVENTS (default 4,000,000; set smaller for smoke),
+ * SPARK_GRAFT_BENCH_SKIP_CDC=1 to skip part 2.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int, app: String): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(app)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def fmt(d: Double): String = f"$d%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "4000000").toLong
+    val skipCdc = sys.env.get("SPARK_GRAFT_BENCH_SKIP_CDC").contains("1")
+
+    // ---- part 1: operator queries --------------------------------------
+    val spark1 = session(cpus, "graft-bench-queries")
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark1, sfDir).count()) catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val totalQuerySec = queryTimes.map(_._2).filter(_ >= 0).sum
+
+    // ---- part 2: CDC replay at two parallelism levels ------------------
+    var cdcJson = "null"
+    if (!skipCdc) {
+      val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val cfg = GenConfig(
+        nEvents = benchEvents, nDocs = math.max(1000L, benchEvents / 4),
+        nShards = 32, avgTokens = 32, nSegments = 8,
+        hotPerMille = 0, evolveAtLsn = Long.MaxValue)
+
+      // generate once (not timed) at full parallelism; identical bytes
+      // are replayed at both levels
+      val gen = session(32, "graft-bench-gen")
+      ChangeLogGen.write(gen, cfg, s"$work/log")
+
+      def replayAt(c: Int): Double = {
+        val s = session(c, s"graft-bench-replay-$c")
+        val sec = time(Replay.replay(
+          s, s"$work/log", s"$work/table-$c", s"$work/cp-$c",
+          nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
+        sec
+      }
+      val sec8 = replayAt(8)
+      val sec32 = replayAt(32)
+      val tput8 = benchEvents / sec8
+      val tput32 = benchEvents / sec32
+      val eff = tput32 / (4.0 * tput8)
+
+      // skew probe: Zipf-hot log, salted vs unsalted canonicalize
+      val skewCfg = GenConfig(
+        nEvents = math.min(benchEvents, 1000000L), nDocs = 250000L,
+        nShards = 32, avgTokens = 32, nSegments = 1,
+        hotPerMille = 300, nHotDocs = 4)
+      val sSkew = session(32, "graft-bench-skew")
+      val skewLog = ChangeLogGen.events(sSkew, skewCfg).cache()
+      skewLog.count() // materialize
+      def applyOnce(salt: Int, tag: String): Double = {
+        val t = Replay.createTable(sSkew, s"$work/skew-$tag", nBuckets = 64)
+        time(graft.apply.BatchApply.apply(t, skewLog, batchId = 0, saltBuckets = salt))
+      }
+      val skewUnsalted = applyOnce(1, "unsalted")
+      val skewSalted = applyOnce(8, "salted")
+      skewLog.unpersist()
+
+      cdcJson =
+        s"""{"events":$benchEvents,"avg_tokens":${cfg.avgTokens},"shards":${cfg.nShards},""" +
+        s""""replay_local8_sec":${fmt(sec8)},"replay_local32_sec":${fmt(sec32)},""" +
+        s""""events_per_sec_local8":${fmt(tput8)},"events_per_sec_local32":${fmt(tput32)},""" +
+        s""""scaling_efficiency":${fmt(eff)},""" +
+        s""""skew_events":${skewCfg.nEvents},"skew_hot_per_mille":${skewCfg.hotPerMille},""" +
+        s""""skew_unsalted_sec":${fmt(skewUnsalted)},"skew_salted_sec":${fmt(skewSalted)}}"""
+    }
+
+    val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(totalQuerySec)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

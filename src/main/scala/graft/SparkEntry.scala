@@ -153,6 +153,124 @@ object SparkEntry {
           size(words).as("n_words"),
           size(filter(words, w => array_contains(stop, w))).as("n_stop"))
         .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 6))
+    }),
+
+    // MinHash+LSH near-dup detection: shingle -> minhash -> band ->
+    // bucket-join -> exact-Jaccard verify (graft.operators.Dedup)
+    "q14_dedup_minhash" -> ((s, dir) =>
+      graft.operators.Dedup.minhashLshPairs(
+        t(s, dir, "documents"), n = 3, k = 12, bands = 4, threshold = 0.5)),
+
+    // SimHash document signatures (32-bit, salted-md5 hyperplanes)
+    "q15_dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.Dedup.simhash32(col("text")).as("simhash"))),
+
+    // n-gram Jaccard similarity: broadcast anchors vs corpus
+    "q16_ngram_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.anchorJaccard(
+        t(s, dir, "documents"), col("doc_id") % 50 === 0, n = 2, threshold = 0.05)),
+
+    // language ID by n-gram/stopword heuristic
+    "q17_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.operators.TextAnalysis.langId(col("text")).as("predicted"))
+        .withColumn("is_match", col("predicted") === col("lang"))),
+
+    // rolling-hash document fingerprint (order-sensitive content hash)
+    "q18_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // token statistics incl. BPE-ish regex tokenization
+    "q19_token_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenStats(t(s, dir, "documents"))),
+
+    // full quality-score panel (punct/stopword/word-length ratios)
+    "q20_quality_panel" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityScores(t(s, dir, "documents"))),
+
+    // exact cosine top-k over embeddings: broadcast anchors, windowed rank
+    "q21_ann_brute" -> ((s, dir) =>
+      graft.operators.Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
+
+    // LSH-bucketed approximate top-k (random-hyperplane signatures)
+    "q22_ann_lsh" -> ((s, dir) =>
+      graft.operators.Similarity.lshTopK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5, bits = 4, dim = 64)),
+
+    // embedding-cosine near-dup pairs within LSH buckets
+    "q23_embed_neardup" -> ((s, dir) =>
+      graft.operators.Similarity.nearDupPairs(
+        t(s, dir, "embeddings"), threshold = 0.35, bits = 4, dim = 64)),
+
+    // multimodal binary-column plumbing: stub decode metadata
+    "q24_multimodal_decode" -> ((s, dir) =>
+      graft.operators.Multimodal.decodedMetadata(t(s, dir, "documents"))),
+
+    // §2.2 unstructured-storage (CSV) source round-trip: parquet -> CSV
+    // files -> typed CSV read -> aggregate (int-only: textually exact)
+    "q25_csv_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+          min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"))
+    }),
+
+    // §2.1 multi-table / sharded-table split analog: unionByName of
+    // per-table scans, one aggregate over the union
+    "q26_multitable_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"), lit("customer").as("src"))
+      val p = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"), lit("supplier").as("src"))
+      c.unionByName(p).groupBy(col("nationkey"), col("src")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.8 set operations: users who clicked AND purchased
+    "q27_set_ops" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+    }),
+
+    // sessionization: event-time gaps > 30 min split sessions (lag window)
+    "q28_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+    }),
+
+    // §1.4 graph model (gdbwriter analog): project customer->order edges,
+    // aggregate out-degree + edge weight per vertex
+    "q29_graph_edges" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(concat(lit("customer_"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("order_"), col("o_orderkey").cast("string")).as("dst"),
+          lit("placed").as("label"), col("o_totalprice"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("out_degree"), round(sum(col("o_totalprice")), 2).as("total_weight"))
+    }),
+
+    // §2.1 quantile split (Oracle SAMPLE analog, exact): NTILE ranges
+    "q30_quantile_split" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("tile", ntile(8).over(w))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
     })
   )
 
@@ -214,6 +332,154 @@ object SparkEntry {
         |round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |    w -> list_contains(['the','a','of','and','to'], w)))::DOUBLE
         |  / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q14_dedup_minhash" -> {
+      val sh3 = graft.functions.Portable.shinglesSql("text", 3)
+      s"""WITH sh AS (
+         |  SELECT doc_id, text, list_distinct($sh3) AS grams FROM documents),
+         |sig AS (
+         |  SELECT doc_id, list_transform(range(0, 12), j ->
+         |    list_min(list_transform(grams, s -> md5(CAST(j AS VARCHAR) || '#' || s)))) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b.band_idx,
+         |    md5(array_to_string(list_slice(sig, band_idx*3 + 1, band_idx*3 + 3), '|')) AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(len(list_distinct(list_intersect(ga.grams, gb.grams)))::DOUBLE
+         |      / (len(ga.grams) + len(gb.grams)
+         |         - len(list_distinct(list_intersect(ga.grams, gb.grams)))), 6) AS jaccard
+         |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+    },
+
+    "q15_dedup_simhash" -> graft.operators.Dedup.simhash32Sql("documents"),
+
+    "q16_ngram_jaccard" -> {
+      val sh2 = graft.functions.Portable.shinglesSql("text", 2)
+      s"""WITH g AS (SELECT doc_id, list_distinct($sh2) AS grams FROM documents),
+         |a AS (SELECT doc_id AS anchor_id, grams AS agrams FROM g WHERE doc_id % 50 = 0),
+         |j AS (
+         |  SELECT a.anchor_id, g.doc_id,
+         |    round(len(list_distinct(list_intersect(a.agrams, g.grams)))::DOUBLE
+         |      / (len(a.agrams) + len(g.grams)
+         |         - len(list_distinct(list_intersect(a.agrams, g.grams)))), 6) AS jaccard
+         |  FROM g JOIN a ON a.anchor_id < g.doc_id)
+         |SELECT anchor_id, doc_id, jaccard FROM j WHERE jaccard >= 0.05""".stripMargin
+    },
+
+    "q17_lang_id" ->
+      s"""SELECT doc_id, lang, predicted, (predicted = lang) AS is_match
+         |FROM (SELECT doc_id, lang, ${graft.operators.TextAnalysis.langIdSql} AS predicted
+         |      FROM documents)""".stripMargin,
+
+    "q18_fingerprint" ->
+      s"""SELECT doc_id, ${graft.operators.TextAnalysis.fingerprintSql("text")} AS fp
+         |FROM documents""".stripMargin,
+
+    "q19_token_stats" ->
+      s"""SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars,
+         |  round(n_chars::DOUBLE / n_bpe_tokens, 4) AS chars_per_bpe_token
+         |FROM (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+         |    len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpePattern}')) AS n_bpe_tokens,
+         |    length(text) AS n_chars
+         |  FROM documents)""".stripMargin,
+
+    "q20_quality_panel" ->
+      """SELECT doc_id, n_chars, n_words, n_stop, n_punct,
+        |  round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+        |  round(n_punct::DOUBLE / n_chars, 6) AS punct_ratio,
+        |  round((n_chars - n_words + 1)::DOUBLE / n_words, 6) AS mean_word_len
+        |FROM (SELECT doc_id, length(text) AS n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        w -> list_contains(['the','a','of','and','to'], w))) AS n_stop,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |  FROM documents)""".stripMargin,
+
+    "q21_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, emb AS aemb FROM e WHERE vec_id % 100 = 0),
+        |s AS (SELECT a.anchor_id, e.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(a.aemb)+1), i -> a.aemb[i] * e.emb[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.aemb)+1), i -> a.aemb[i]*a.aemb[i])))
+        |       * sqrt(list_sum(list_transform(range(1, len(e.emb)+1), i -> e.emb[i]*e.emb[i])))), 6) AS sim
+        |  FROM a JOIN e ON e.vec_id <> a.anchor_id),
+        |r AS (SELECT anchor_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT anchor_id, rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "q22_ann_lsh" -> {
+      val bucket = graft.operators.Similarity.lshBucketSql("emb", 4, 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+         |a AS (SELECT vec_id AS anchor_id, emb AS aemb, bucket FROM b WHERE vec_id % 100 = 0),
+         |s AS (SELECT a.anchor_id, b.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, len(a.aemb)+1), i -> a.aemb[i] * b.emb[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, len(a.aemb)+1), i -> a.aemb[i]*a.aemb[i])))
+         |       * sqrt(list_sum(list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])))), 6) AS sim
+         |  FROM b JOIN a ON a.bucket = b.bucket AND b.vec_id <> a.anchor_id),
+         |r AS (SELECT anchor_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT anchor_id, rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    "q23_embed_neardup" -> {
+      val bucket = graft.operators.Similarity.lshBucketSql("emb", 4, 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+         |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |    round(list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i] * y.emb[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i]*x.emb[i])))
+         |       * sqrt(list_sum(list_transform(range(1, len(y.emb)+1), i -> y.emb[i]*y.emb[i])))), 6) AS sim
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""".stripMargin
+    },
+
+    "q24_multimodal_decode" -> graft.operators.Multimodal.decodedMetadataSql,
+
+    "q25_csv_source" ->
+      """SELECT event_type, count(*) AS n, sum(user_id)::BIGINT AS sum_user,
+        |min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q26_multitable_union" ->
+      """SELECT nationkey, src, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier)
+        |GROUP BY nationkey, src""".stripMargin,
+
+    "q27_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q28_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "q29_graph_edges" ->
+      """SELECT 'customer_' || o_custkey AS src, count(*) AS out_degree,
+        |round(sum(o_totalprice), 2) AS total_weight
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q30_quantile_split" ->
+      """WITH x AS (SELECT o_orderkey, ntile(8) OVER (ORDER BY o_orderkey) AS tile FROM orders)
+        |SELECT tile, count(*) AS n_rows, min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |FROM x GROUP BY tile""".stripMargin
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: language ID,
+ * quality scoring, token counting, document fingerprinting.
+ *
+ * All are narrow per-row projections (no shuffle at all): at 100 TB they
+ * run as a single map stage fused into the Parquet scan by whole-stage
+ * codegen, and the needed columns are pruned at the reader. Everything is
+ * built on portable primitives so the DuckDB oracle verifies values.
+ */
+object TextAnalysis {
+
+  /** Marker stopwords per language, alphabetical by language code.
+    * (zh has no whitespace-delimited markers — it simply never wins.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "y", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq.empty)
+
+  private def markerHits(ws: Column, markers: Seq[String]): Column =
+    if (markers.isEmpty) lit(0)
+    else size(filter(ws, w => array_contains(array(markers.map(lit): _*), w)))
+
+  /** n-gram-heuristic language ID: count marker-word hits per language,
+    * predict the argmax (first language in alphabetical order on ties —
+    * matched exactly by the oracle's >=-chain CASE). */
+  def langId(text: Column): Column = {
+    val ws = Portable.words(text)
+    val scored = LangMarkers.map { case (lang, ms) => (lang, markerHits(ws, ms)) }
+    // left fold in alphabetical order, strict > keeps the earliest max
+    scored.tail.foldLeft(struct(scored.head._2.as("h"), lit(scored.head._1).as("l"))) {
+      case (acc, (lang, hits)) =>
+        when(hits > acc.getField("h"), struct(hits.as("h"), lit(lang).as("l"))).otherwise(acc)
+    }.getField("l")
+  }
+
+  /** DuckDB SQL expression for [[langId]] over column `text`. */
+  def langIdSql: String = {
+    def hits(ms: Seq[String]): String =
+      if (ms.isEmpty) "0"
+      else s"len(list_filter(${Portable.wordsSql("text")}, w -> list_contains(${ms.mkString("['", "','", "']")}, w)))"
+    val hs = LangMarkers.map { case (lang, ms) => lang -> hits(ms) }
+    // first-alphabetical argmax: lang_i wins when its hits >= all later ones
+    // and > all earlier ones — equivalently a CASE chain in order with >=
+    // against all others.
+    val cases = hs.zipWithIndex.map { case ((lang, h), i) =>
+      val conds = hs.zipWithIndex.collect {
+        case ((_, h2), j) if j < i => s"$h > $h2"   // strictly beat earlier langs
+        case ((_, h2), j) if j > i => s"$h >= $h2"  // ties beat later langs
+      }
+      val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"(CASE ${cases.mkString(" ")} END)"
+  }
+
+  /** BPE-ish token pattern: alpha runs, digit runs, single punctuation.
+    * Same regex semantics in Java regex and RE2. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token statistics: whitespace tokens, BPE-ish tokens, chars/token. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(Portable.words(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+      .withColumn("chars_per_bpe_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+
+  /** Polynomial rolling-hash fingerprint of the full text:
+    * fold((acc * 31 + codepoint) mod 1e9+7). A content fingerprint that
+    * is order-sensitive (unlike a bag-of-words hash) and portable
+    * (DuckDB: list_reduce + ord). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  def fingerprintSql(e: String): String =
+    s"""list_reduce(
+       |  list_prepend(0::BIGINT, list_transform(range(1, length($e) + 1),
+       |    i -> ord(substr($e, i, 1))::BIGINT)),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** Quality scores: length, punctuation ratio, stopword ratio, mean
+    * word length — the usual cheap pre-filters for training corpora. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val ws = Portable.words(col("text"))
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(ws).as("n_words"),
+      size(filter(ws, w => array_contains(stop, w))).as("n_stop"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_words"), 6))
+      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars"), 6))
+      .withColumn("mean_word_len",
+        round((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"), 6))
+  }
+}

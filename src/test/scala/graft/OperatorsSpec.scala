@@ -1,0 +1,137 @@
+package graft
+
+import graft.functions.Portable
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the training-data operators (dedup / similarity /
+  * text analysis / multimodal plumbing) over the driver's read-only
+  * sf0.001 fixture tables. Value-level parity with DuckDB is
+  * covered by the driver's oracle (SparkEntry.oracleSql); these tests
+  * pin semantic invariants. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-operators-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dataDir = "/root/testdata/sf0.001"
+  private def docs: DataFrame = spark.read.parquet(s"$dataDir/documents.parquet")
+  private def emb: DataFrame = spark.read.parquet(s"$dataDir/embeddings.parquet")
+
+  test("portable hash32 matches the JVM-side derivation") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "Zürich")
+    val got = inputs.toDF("s").select(Portable.hash32(col("s"))).as[Long].collect()
+    val exp = inputs.map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("minhash LSH finds the planted near-duplicates and nothing below threshold") {
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    // symmetric canonical order
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash: identical docs share signatures; signature is 32-bit") {
+    import spark.implicits._
+    val two = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
+      .toDF("text")
+    val sigs = two.select(Dedup.simhash32(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs.forall(s => s >= 0 && s < (1L << 32)))
+  }
+
+  test("jaccard: identical sets -> 1, disjoint sets -> 0") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(j.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("brute-force ANN: top-1 of an anchor against itself-free corpus is its true NN") {
+    val topk = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 3)
+    val rows = topk.collect()
+    assert(rows.nonEmpty)
+    // ranks are dense 1..k per anchor
+    val byAnchor = rows.groupBy(_.getLong(0))
+    byAnchor.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      // sims non-increasing with rank
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results are a subset-consistent approximation of brute force") {
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 5)
+      .select("anchor_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, col("vec_id") % 100 === 0, k = 5, bits = 4, dim = 64)
+      .select("anchor_id", "neighbor_id", "sim").collect()
+    assert(lsh.nonEmpty)
+    // any (anchor, neighbor) also present in brute force has the same sim
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s == r.getDouble(2)))
+    }
+  }
+
+  test("near-dup pairs: every reported pair clears the threshold, canonical order") {
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.35, bits = 4, dim = 64).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+
+  test("langId predicts the marker language; ties go to the alphabetical first") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat of the house and a dog", // en markers
+      "der hund und die katze ist da",  // de markers
+      "no markers here whatsoever").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got(0) == "en")
+    assert(got(1) == "de")
+    assert(got(2) == "de") // 0 hits everywhere -> alphabetical first
+  }
+
+  test("fingerprint is order-sensitive (anagram texts differ)") {
+    import spark.implicits._
+    val df = Seq("ab cd", "cd ab").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) != fps(1))
+  }
+
+  test("multimodal: typed mapPartitions decode matches the SQL-expressible metadata") {
+    implicit val s: SparkSession = spark
+    val assets = Multimodal.attachPayload(docs)
+    val decoded = Multimodal.decode(assets).toDF()
+      .select("doc_id", "media_type", "byte_len", "width", "height", "n_frames")
+    val viaSql = Multimodal.decodedMetadata(docs)
+      .select("doc_id", "media_type", "byte_len", "width", "height", "n_frames")
+    assert(decoded.exceptAll(viaSql).isEmpty && viaSql.exceptAll(decoded).isEmpty)
+  }
+
+  test("frame offsets stride the payload") {
+    val fo = Multimodal.frameOffsets(Multimodal.attachPayload(docs), step = 16)
+      .select(col("doc_id"), col("frame_offsets")).collect()
+    fo.foreach { r =>
+      val offs = r.getSeq[Int](1)
+      assert(offs.head == 0)
+      assert(offs.zip(offs.tail).forall { case (a, b) => b - a == 16 })
+    }
+  }
+}
