@@ -1,0 +1,56 @@
+package graft
+
+import graft.model.JobSpec
+import graft.stream.{Replay, ReplayMetrics}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * spark-submit entrypoint — the analog of `python datax.py job.json`
+ * (reference `core/src/main/bin/datax.py` -> `Engine.main`,
+ * `core/.../Engine.java:122-172`):
+ *
+ *   spark-submit --class graft.Main dataxspark.jar job.json
+ *
+ * Parses the [[JobSpec]], runs the streaming replay (resuming from the
+ * job's checkpoint if present), prints the DataX-style final report
+ * (counters + rec/s, `JobContainer.logStatistics:575-647` analog) and
+ * writes it next to the table. The SparkSession comes from spark-submit
+ * (master/cores/memory are cluster-submit concerns, not job-spec
+ * concerns — same split as DataX's core.json vs job.json).
+ */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: graft.Main <job.json> [runTag]")
+    val spec = JobSpec.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8"))
+    val tag = if (args.length > 1) args(1) else "run"
+
+    // master comes from spark-submit; GRAFT_MASTER is a convenience for
+    // driving the jar without it (tests / local smoke)
+    val builder = SparkSession.builder()
+      .appName("graft-cdc-replay")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = sys.env.get("GRAFT_MASTER")
+      .fold(builder)(m => builder.master(m)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val metrics = new ReplayMetrics
+    val table = Replay.replay(
+      spark, spec.logDir, spec.tableDir, spec.checkpointDir,
+      nBuckets = spec.nBuckets,
+      maxFilesPerTrigger = spec.maxFilesPerTrigger,
+      saltBuckets = spec.saltBuckets,
+      transform = spec.transformFn,
+      quarantineDir = spec.quarantineDir,
+      errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),
+      metrics = Some(metrics))
+
+    metrics.report(spark, spec.tableDir, tag)
+    val snap = table.current
+    println(s"graft job done: ${metrics.toJson}")
+    println(s"table ${spec.tableDir} v${snap.version} batchId=${snap.batchId} " +
+      s"rows=${snap.files.map(_.rows).sum} files=${snap.files.size} " +
+      s"watermarks=${snap.watermarks.toSeq.sortBy(_._1).mkString(",")}")
+    spark.stop()
+  }
+}

@@ -338,10 +338,10 @@ object SparkEntry {
       val sh3 = graft.functions.Portable.shinglesSql("text", 3)
       s"""WITH sh AS (
          |  SELECT doc_id, text, list_distinct($sh3) AS grams FROM documents),
+         |hsrc AS (
+         |  SELECT doc_id, ${graft.operators.Dedup.shingleHashListSql("grams")} AS hs FROM sh),
          |sig AS (
-         |  SELECT doc_id, list_transform(range(0, 12), j ->
-         |    list_min(list_transform(grams, s -> md5(CAST(j AS VARCHAR) || '#' || s)))) AS sig
-         |  FROM sh),
+         |  SELECT doc_id, ${graft.operators.Dedup.minhashSigSql(12)} AS sig FROM hsrc),
          |banded AS (
          |  SELECT doc_id, b.band_idx,
          |    md5(array_to_string(list_slice(sig, band_idx*3 + 1, band_idx*3 + 3), '|')) AS band_key

@@ -77,14 +77,14 @@ object BatchApply {
     var snap = table.current
     // ---- exactly-once fence: retry of an already-committed batch
     if (batchId >= 0 && batchId <= snap.batchId) return snap
-    if (batch.isEmpty) return snap
 
-    // ---- one pass of per-shard stats: offset ranges (lineage), watermark
-    //      advance, and evolution detection
+    // ---- one pass of per-shard stats: emptiness, offset ranges
+    //      (lineage), watermark advance, and evolution detection
     val stats = batch.groupBy(col("shard")).agg(
       min(col("lsn")).as("minLsn"), max(col("lsn")).as("maxLsn"),
       count(lit(1)).as("rows"), max(col("lang").isNotNull.cast("int")).as("hasLang")
     ).collect()
+    if (stats.isEmpty) return snap
     val needsEvolve = stats.exists(_.getAs[Int]("hasLang") > 0) &&
       !snap.schema.fieldNames.contains("lang")
     if (needsEvolve) snap = table.evolveSchema(evolvedSchema(snap.schema))
@@ -105,35 +105,50 @@ object BatchApply {
 
     val canonical = canonicalize(fenced, saltBuckets)
       .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- manifest-level pruning: only buckets with changed keys are read
+      val touched = canonical.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return snap
 
-    // ---- manifest-level pruning: only buckets with changed keys are read
-    val touched = canonical.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return snap
+      val userSchema = snap.schema
+      val changeTypes = canonical.schema.fields.map(f => f.name -> f.dataType).toMap
+      val targetFiles = snap.files.exists(f => touched.contains(f.bucket))
 
-    val userSchema = snap.schema
-    val changeTypes = canonical.schema.fields.map(f => f.name -> f.dataType).toMap
+      val merged = if (!targetFiles) {
+        // fast path (first batch / all-new buckets): no target rows to
+        // merge against — project the canonical batch straight to the
+        // physical schema, skipping the join entirely
+        val userCols = userSchema.fields.map { f =>
+          graft.lake.SchemaCompat.castTo(col(f.name), changeTypes(f.name), f.dataType).as(f.name)
+        }.toIndexedSeq
+        canonical.select(userCols ++ Seq(
+          col("lsn").as(LakeTable.LsnCol),
+          (col("op") === "D").as(LakeTable.DeletedCol),
+          col("bucket")): _*)
+      } else {
+        val t = table.readPhysical(Some(touched), Some(snap)).as("t")
+        val c = canonical.as("c")
+        val joined = t.join(c, col("t.doc_id") === col("c.doc_id"), "full_outer")
 
-    val target = table.readPhysical(Some(touched), Some(snap))
-    val t = target.as("t")
-    val c = canonical.as("c")
-    val joined = t.join(c, col("t.doc_id") === col("c.doc_id"), "full_outer")
+        val changeWins = col("t.doc_id").isNull ||
+          (col("c.doc_id").isNotNull && col("c.lsn") > col(s"t.${LakeTable.LsnCol}"))
 
-    val changeWins = col("t.doc_id").isNull ||
-      (col("c.doc_id").isNotNull && col("c.lsn") > col(s"t.${LakeTable.LsnCol}"))
+        val userCols = userSchema.fields.map { f =>
+          val fromChange = graft.lake.SchemaCompat.castTo(
+            col(s"c.${f.name}"), changeTypes(f.name), f.dataType)
+          when(changeWins, fromChange).otherwise(col(s"t.${f.name}")).as(f.name)
+        }.toIndexedSeq
+        joined.select(
+          userCols ++ Seq(
+            when(changeWins, col("c.lsn")).otherwise(col(s"t.${LakeTable.LsnCol}")).as(LakeTable.LsnCol),
+            when(changeWins, col("c.op") === "D").otherwise(col(s"t.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol)
+          ): _*)
+          .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
+      }
 
-    val userCols = userSchema.fields.map { f =>
-      val fromChange = graft.lake.SchemaCompat.castTo(
-        col(s"c.${f.name}"), changeTypes(f.name), f.dataType)
-      when(changeWins, fromChange).otherwise(col(s"t.${f.name}")).as(f.name)
-    }.toIndexedSeq
-    val merged = joined.select(
-      userCols ++ Seq(
-        when(changeWins, col("c.lsn")).otherwise(col(s"t.${LakeTable.LsnCol}")).as(LakeTable.LsnCol),
-        when(changeWins, col("c.op") === "D").otherwise(col(s"t.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol)
-      ): _*)
-      .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
-
-    val files = table.writeDataFiles(merged, snap.schemaId)
-    table.commit(files, touched, batchId, watermarks, lineage, snap.version)
+      val files = table.writeDataFiles(merged, snap.schemaId)
+      table.commit(files, touched, batchId, watermarks, lineage, snap.version)
+    } finally canonical.unpersist(false)
   }
 }

@@ -34,12 +34,15 @@ object Portable {
       s" ELSE ascii(substr($m, $i, 1)) - 48 END)"
 
   /** Uniform non-negative 32-bit hash of a string column: first 8 hex
-    * nibbles of md5, interpreted positionally. DuckDB equivalent is
-    * [[hash32Sql]]. */
-  def hash32(c: Column): Column = {
-    val m = md5(c)
-    (1 to 8).map(i => nibble(m, i).cast("long") * lit(1L << (4 * (8 - i)))).reduce(_ + _)
-  }
+    * nibbles of md5, interpreted positionally. Implemented as ONE
+    * md5 + conv(hex,16,10) — binding `md5(c)` to a Scala val and
+    * decoding nibble-by-nibble would embed the digest 8x in the tree,
+    * and higher-order-function lambdas run interpreted (no codegen
+    * subexpression elimination), so each extra reference is a full
+    * re-digest. DuckDB has no conv(); its equivalent [[hash32Sql]]
+    * decodes nibbles positionally — same value, oracle-verified. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** DuckDB SQL text computing the same value as [[hash32]] over `e`.
     * `e` must be free of single quotes (we only pass column refs). */
@@ -69,17 +72,22 @@ object Portable {
 
   val wordsSql: String => String = e => s"regexp_split_to_array(trim($e), '\\s+')"
 
-  /** Word-level n-gram shingles joined with single spaces: for a doc of w
-    * words, the (w-n+1) strings words[i..i+n). DuckDB equivalent:
-    * [[shinglesSql]]. Empty/short docs yield a single shingle of the
-    * whole text so no doc silently disappears. */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
+  /** Shingles from a pre-split words array — prefer this over
+    * [[shingles]] in operators: HOF lambdas are interpreted (no codegen
+    * CSE), so staging `words()` in its own projection avoids re-running
+    * the regex split once per reference. */
+  def shinglesFromWords(ws: Column, n: Int): Column =
     when(size(ws) <= n, array(concat_ws(" ", ws)))
       .otherwise(transform(
         sequence(lit(1), size(ws) - lit(n - 1)),
         i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
+
+  /** Word-level n-gram shingles joined with single spaces: for a doc of w
+    * words, the (w-n+1) strings words[i..i+n). DuckDB equivalent:
+    * [[shinglesSql]]. Empty/short docs yield a single shingle of the
+    * whole text so no doc silently disappears. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromWords(words(text), n)
 
   def shinglesSql(e: String, n: Int): String = {
     val ws = wordsSql(e)

@@ -194,7 +194,9 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
     val targetPhys = s.physicalSchema(s.schemaId)
     if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetPhys)
+      // LocalRelation-backed empty frame (not an empty RDD): keeps the
+      // plan codegen- and AQE-friendly when joined against
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), targetPhys)
     } else {
       // group by schema-id; align older files to the current schema:
       // missing columns -> null, widened columns -> cast (additive only)

@@ -1,0 +1,109 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Job specification — the engine's answer to the reference's job JSON
+ * (`core/src/main/job/job.json`: `{job: {setting: {speed, errorLimit},
+ * content: [{reader, writer, transformer[]}]}}`, walk-through at
+ * `dataxPluginDev.md:216-305`), collapsed to the shapes this engine
+ * actually runs: one change-log reader, one lake-table writer, an
+ * optional dx_* transformer chain, error limits and a rate cap.
+ *
+ * Example:
+ * {{{
+ * {
+ *   "reader":  { "logDir": "/data/binlog" },
+ *   "writer":  { "tableDir": "/data/doc_store", "checkpointDir": "/data/cp",
+ *                "nBuckets": 256, "saltBuckets": 1 },
+ *   "transformers": [
+ *     {"name": "dx_filter", "column": "source", "op": "=", "value": "spam"},
+ *     {"name": "dx_pad", "column": "lang", "padTo": "l", "length": 5, "pad": "_"}
+ *   ],
+ *   "speed":      { "maxFilesPerTrigger": 64 },
+ *   "errorLimit": { "record": 0, "percentage": 0.01,
+ *                   "quarantineDir": "/data/dirty" }
+ * }
+ * }}}
+ */
+final case class JobSpec(
+    logDir: String,
+    tableDir: String,
+    checkpointDir: String,
+    nBuckets: Int,
+    saltBuckets: Int,
+    maxFilesPerTrigger: Int,
+    errorRecordLimit: Long,
+    errorPercentageLimit: Double,
+    quarantineDir: Option[String],
+    transformers: Seq[TransformerSpec]) {
+
+  /** Compose the transformer chain into one DataFrame function (the
+    * analog of BufferedRecordTransformerExchanger's per-record chain). */
+  def transformFn: DataFrame => DataFrame =
+    df => transformers.foldLeft(df)((d, t) => t(d))
+}
+
+/** One dx_* transformer binding (name + pre-bound parameters — the
+  * analog of TransformerUtil.buildTransformerInfo). */
+final case class TransformerSpec(
+    name: String,
+    column: String,
+    params: Map[String, String]) {
+
+  import graft.functions.Transformers._
+
+  def apply(df: DataFrame): DataFrame = name match {
+    case "dx_substr" =>
+      df.withColumn(column, dxSubstr(col(column), params("start").toInt, params("length").toInt))
+    case "dx_pad" =>
+      df.withColumn(column, dxPad(col(column), params("padTo"), params("length").toInt, params("pad")))
+    case "dx_replace" =>
+      df.withColumn(column, dxReplace(col(column), params("start").toInt,
+        params("length").toInt, params("replace")))
+    case "dx_filter" =>
+      dxFilter(df, col(column), params("op"), params("value"))
+    case other => throw new IllegalArgumentException(s"unknown transformer '$other'")
+  }
+}
+
+object JobSpec {
+
+  def parse(json: String): JobSpec = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(json)
+    def str(v: JValue, d: => String = throw new IllegalArgumentException("missing field")): String =
+      v match { case JString(s) => s; case JNothing => d; case x => x.extract[String] }
+    def num(v: JValue, d: Long): Long = v match { case JNothing => d; case x => x.extract[Long] }
+    def dbl(v: JValue, d: Double): Double = v match { case JNothing => d; case x => x.extract[Double] }
+
+    val transformers = (j \ "transformers") match {
+      case JArray(ts) => ts.map { t =>
+        val all = t.asInstanceOf[JObject].obj.collect {
+          case (k, JString(s)) => k -> s
+          case (k, JInt(i)) => k -> i.toString
+          case (k, JDouble(d)) => k -> d.toString
+        }.toMap
+        TransformerSpec(all("name"), all("column"), all - "name" - "column")
+      }
+      case _ => Nil
+    }
+
+    JobSpec(
+      logDir = str(j \ "reader" \ "logDir"),
+      tableDir = str(j \ "writer" \ "tableDir"),
+      checkpointDir = str(j \ "writer" \ "checkpointDir"),
+      nBuckets = num(j \ "writer" \ "nBuckets", 64).toInt,
+      saltBuckets = num(j \ "writer" \ "saltBuckets", 1).toInt,
+      maxFilesPerTrigger = num(j \ "speed" \ "maxFilesPerTrigger", Int.MaxValue).toInt,
+      errorRecordLimit = num(j \ "errorLimit" \ "record", -1L),
+      errorPercentageLimit = dbl(j \ "errorLimit" \ "percentage", Double.NaN),
+      quarantineDir = (j \ "errorLimit" \ "quarantineDir") match {
+        case JString(s) => Some(s); case _ => None
+      },
+      transformers = transformers)
+  }
+}

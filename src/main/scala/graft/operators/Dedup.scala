@@ -36,15 +36,48 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature column: array of `k` salted-md5 minima over the
-    * word `n`-gram shingles of `text`. Lexicographic min of equal-length
-    * hex digests = numeric min, so this is a standard minhash. */
-  def minhashSig(text: Column, n: Int, k: Int): Column = {
-    val sh = Portable.shingles(text, n)
-    array((0 until k).map { j =>
-      array_min(transform(sh, s => Portable.saltedMd5(s, j)))
-    }: _*)
+  /** Universal-hash family for minhash: k deterministic (a_j, b_j)
+    * pairs derived from md5 of the constant strings "mh_a_j"/"mh_b_j"
+    * at PLAN time (same values are inlined into the DuckDB oracle SQL).
+    * a_j odd and < 2^30 so a*h+b never overflows a signed 64-bit. */
+  val MinhashP = 2147483647L // 2^31 - 1 (prime)
+
+  def uhashParams(k: Int): IndexedSeq[(Long, Long)] = {
+    def h7(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) // < 2^28
+    }
+    (0 until k).map(j => (1L + 2L * h7(s"mh_a_$j"), h7(s"mh_b_$j") % MinhashP))
   }
+
+  /** MinHash signature column: ONE md5-derived 32-bit hash per shingle
+    * ([[Portable.hash32]]), then k cheap universal hashes
+    * `(a_j * h + b_j) mod P` — the classic single-hash minhash that
+    * avoids k full digests per shingle (12x less hashing than salted
+    * md5s; the hash32 projection is kept in its own Project so codegen
+    * evaluates it once, not once per permutation). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(Portable.shingles(text, n), s => Portable.hash32(s))
+
+  def sigFromHashes(hs: Column, k: Int): Column =
+    array(uhashParams(k).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+    }: _*)
+
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    sigFromHashes(shingleHashes(text, n), k)
+
+  /** DuckDB SQL for the per-shingle hash list over a grams expression. */
+  def shingleHashListSql(gramsE: String): String =
+    s"list_transform($gramsE, s -> ${Portable.hash32Sql("s")})"
+
+  /** DuckDB SQL list literal of the k minhashes over a column named
+    * `hs` (the output of [[shingleHashListSql]] in a prior CTE). */
+  def minhashSigSql(k: Int): String =
+    uhashParams(k).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $MinhashP))"
+    }.mkString("[", ", ", "]")
 
   /** LSH candidate pairs: docs agreeing on at least one band of their
     * minhash signature (bands of `r` rows each), verified with exact
@@ -56,28 +89,49 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val withSig = docs.select(col("doc_id"), col("text"), minhashSig(col("text"), n, k).as("sig"))
-    val banded = withSig.select(
-      col("doc_id"), col("text"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat_ws("|", slice(col("sig"), b * r + 1, r))).as("band_key"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("text"), col("band.band_idx"), col("band.band_key"))
+    // narrow band table: (doc_id, band_idx, band_key) only — never ship
+    // text through the self-join shuffle. Two-step projection keeps the
+    // per-shingle md5 in its own Project (evaluated once, not k times —
+    // CollapseProject won't duplicate non-cheap exprs).
+    // repartition first: a single-file input would otherwise run the
+    // whole (interpreted, per-row-expensive) shingle pipeline in ONE
+    // task. Then stage words -> shingles -> hashes in separate
+    // projections (each evaluated once) and localCheckpoint the tiny
+    // band table so the self-join doesn't re-derive it per side. At
+    // cluster scale substitute a persisted intermediate if task retries
+    // must replay.
+    val banded = docs
+      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => Portable.hash32(s)).as("hs"))
+      .select(col("doc_id"), sigFromHashes(col("hs"), k).as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, r))).as("band_key"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+      .localCheckpoint(true)
 
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val cand = a.join(b,
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    cand.withColumn("jaccard", round(jaccard(
-        array_distinct(Portable.shingles(col("text_a"), n)),
-        array_distinct(Portable.shingles(col("text_b"), n))), 6))
+    // exact verify only the (tiny) candidate set: join it back to the
+    // shingle sets — AQE broadcasts the candidate side automatically.
+    // grams is joined twice (doc_a, doc_b) -> materialize once.
+    val grams = docs
+      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams"))
+      .localCheckpoint(true)
+    cand.join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .withColumn("jaccard", round(jaccard(col("ga.grams"), col("gb.grams")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -115,16 +169,36 @@ object Dedup {
        |SELECT doc_id, sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
 
-  /** n-gram (character-level unigram-word here: word set) Jaccard of a
-    * small anchor set vs the corpus — anchors broadcast, corpus streamed.
+  /** n-gram Jaccard of a small anchor set vs the corpus, as an INVERTED
+    * INDEX join (the scalable sparse-similarity shape): explode shingles
+    * on both sides, equi-join on the shingle (anchors broadcast), count
+    * matches per pair, then jaccard from |A|+|B|-|A∩B|. Never builds a
+    * pair×array intersection — work is proportional to the number of
+    * shared shingle occurrences, and the join is a hash lookup per
+    * shingle. Pairs with zero overlap never materialize (they can't
+    * clear any threshold > 0).
     * Returns (anchor_id, doc_id, jaccard) for jaccard >= threshold. */
   def anchorJaccard(docs: DataFrame, anchorPred: Column, n: Int, threshold: Double): DataFrame = {
-    val grams = array_distinct(Portable.shingles(col("text"), n))
-    val corpus = docs.select(col("doc_id"), grams.as("grams"))
+    require(threshold > 0, "inverted-index jaccard needs threshold > 0")
+    // repartition a possibly-single-file input, stage the word split,
+    // materialize once: both the anchor side and the exploded corpus
+    // derive from it (shingling re-evaluation dominates otherwise)
+    val corpus = docs
+      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams"))
+      .localCheckpoint(true)
     val anchors = corpus.filter(anchorPred)
-      .select(col("doc_id").as("anchor_id"), col("grams").as("agrams"))
-    corpus.join(broadcast(anchors), col("anchor_id") < col("doc_id"))
-      .withColumn("jaccard", round(jaccard(col("agrams"), col("grams")), 6))
+      .select(col("doc_id").as("anchor_id"), size(col("grams")).as("alen"),
+        explode(col("grams")).as("gram"))
+    val exploded = corpus.select(col("doc_id"), size(col("grams")).as("len"),
+      explode(col("grams")).as("gram"))
+    exploded.join(broadcast(anchors), "gram")
+      .filter(col("anchor_id") < col("doc_id"))
+      .groupBy(col("anchor_id"), col("doc_id"), col("alen"), col("len"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("alen") + col("len") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("anchor_id"), col("doc_id"), col("jaccard"))
   }

@@ -49,13 +49,24 @@ object Similarity {
       zip_with(v, typedlit(w.toSeq), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Left-fold dot product of two double-array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
+
+  /** Project (vec_id, emb: array<double>, nrm) — norms computed ONCE per
+    * vector instead of once per compared pair (the second select keeps
+    * the cast array out of triple evaluation via CollapseProject's
+    * non-cheap-expression rule). */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
 
   /** `bits`-bit LSH bucket id of an embedding column. */
   def lshBucket(v: Column, bits: Int, dim: Int): Column = {
@@ -75,15 +86,19 @@ object Similarity {
     }.mkString("(", " + ", ")")
   }
 
+  /** Rounded similarity from pre-normed sides: dot/(nrmA*nrmB). */
+  private def simExpr(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
+    round(dot(aEmb, bEmb) / (aNrm * bNrm), 6)
+
   /** Exact top-k: anchors (rows matching `anchorPred`) vs full corpus.
     * Returns (anchor_id, rank, neighbor_id, sim). */
   def bruteForceTopK(emb: DataFrame, anchorPred: Column, k: Int): DataFrame = {
-    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val corpus = withNorm(emb)
     val anchors = corpus.filter(anchorPred)
-      .select(col("vec_id").as("anchor_id"), col("embedding").as("aemb"))
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
     val scored = corpus.join(broadcast(anchors), col("anchor_id") =!= col("vec_id"))
       .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("aemb"), col("embedding")), 6).as("sim"))
+        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("anchor_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -94,14 +109,15 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the anchor's LSH bucket.
     * Same output shape as [[bruteForceTopK]]. */
   def lshTopK(emb: DataFrame, anchorPred: Column, k: Int, bits: Int, dim: Int): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), bits, dim).as("bucket"))
+    val bucketed = withNorm(emb)
+      .withColumn("bucket", lshBucket(col("emb"), bits, dim))
     val anchors = bucketed.filter(anchorPred)
-      .select(col("vec_id").as("anchor_id"), col("embedding").as("aemb"), col("bucket"))
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"),
+        col("nrm").as("anrm"), col("bucket"))
     val scored = bucketed.join(broadcast(anchors), Seq("bucket"))
       .filter(col("anchor_id") =!= col("vec_id"))
       .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("aemb"), col("embedding")), 6).as("sim"))
+        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("anchor_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -113,13 +129,13 @@ object Similarity {
     * cosine >= threshold. Returns (vec_a, vec_b, sim), vec_a < vec_b.
     * The bucket equi-join keeps this a hash shuffle, not O(n²). */
   def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int, dim: Int): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), bits, dim).as("bucket"))
+    val bucketed = withNorm(emb)
+      .withColumn("bucket", lshBucket(col("emb"), bits, dim))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+        simExpr(col("a.emb"), col("b.emb"), col("a.nrm"), col("b.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

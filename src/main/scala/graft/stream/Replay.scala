@@ -51,7 +51,10 @@ object Replay {
     * from `checkpointDir` if it exists. Blocks until the log is drained
     * (Trigger.AvailableNow). `stopAfterBatches` kills the query (after
     * the sink commit, before the checkpoint advances) to exercise the
-    * crash/resume path. */
+    * crash/resume path. Optional hooks mirror the reference job model:
+    * `transform` = the dx_* transformer chain, `quarantineDir` +
+    * `errorLimit` = dirty-record routing (§2.6), `metrics` = the
+    * counter tap (§2.9). */
   def replay(
       spark: SparkSession,
       logDir: String,
@@ -60,11 +63,24 @@ object Replay {
       nBuckets: Int = 64,
       maxFilesPerTrigger: Int = Int.MaxValue,
       saltBuckets: Int = 1,
-      stopAfterBatches: Int = Int.MaxValue): LakeTable = {
+      stopAfterBatches: Int = Int.MaxValue,
+      transform: DataFrame => DataFrame = identity,
+      quarantineDir: Option[String] = None,
+      errorLimit: graft.apply.DirtyRouter.ErrorLimit = graft.apply.DirtyRouter.ErrorLimit(),
+      metrics: Option[ReplayMetrics] = None): LakeTable = {
 
     val table =
       if (LakeTable.exists(spark, tableDir)) LakeTable.load(spark, tableDir)
       else createTable(spark, tableDir, nBuckets)
+
+    val routeDirty = quarantineDir.isDefined ||
+      errorLimit.record >= 0 || !errorLimit.percentage.isNaN
+
+    val listener = metrics.map { m =>
+      val l = new ReplayListener(m)
+      spark.streams.addListener(l)
+      l
+    }
 
     val stream = spark.readStream
       .schema(ChangeLog.schema)
@@ -76,8 +92,27 @@ object Replay {
       .queryName("graft-replay")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val transformed = transform(raw)
+        val batch =
+          if (!routeDirty) transformed
+          else {
+            val split = graft.apply.DirtyRouter.route(
+              transformed, batchId, quarantineDir, errorLimit)
+            metrics.foreach { m =>
+              m.readRecords.addAndGet(split.cleanRows + split.dirtyRows)
+              m.dirtyRecords.addAndGet(split.dirtyRows)
+              m.writeRecords.addAndGet(split.cleanRows)
+            }
+            split.clean
+          }
+        val before = table.current.batchId
         BatchApply.apply(table, batch, batchId, saltBuckets)
+        metrics.foreach { m =>
+          m.batches.incrementAndGet()
+          if (batchId <= before) m.fencedBatches.incrementAndGet()
+          if (!routeDirty) () // writeRecords counted by the router when on
+        }
         batches += 1
         // crash AFTER the lake commit but BEFORE the streaming checkpoint
         // records completion — the worst-case window for duplicates
@@ -89,7 +124,7 @@ object Replay {
     catch {
       case e: StreamingQueryException
         if causeChain(e).exists(_.isInstanceOf[SimulatedKill]) => () // expected
-    }
+    } finally listener.foreach(spark.streams.removeListener)
     table
   }
 

@@ -1,0 +1,137 @@
+package graft
+
+import graft.apply.DirtyRouter
+import graft.functions.Transformers
+import graft.gen.ChangeLogGen
+import graft.model.{ChangeLog, GenConfig, JobSpec}
+import graft.stream.{Replay, ReplayMetrics}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tests for the job-spec surface: dx_* transformer semantics (DataX
+  * parity cases from FIXTURES.md §3), dirty routing + errorLimit, and a
+  * full job.json -> Main-equivalent end-to-end run with metrics. */
+class JobSpecSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-jobspec-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dx_substr/dx_pad/dx_replace null + edge semantics match the reference") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val df = Seq(Option("DataX"), None, Option("ab")).toDF("s")
+    val out = df.select(
+      Transformers.dxSubstr(col("s"), 1, 3).as("sub"),
+      Transformers.dxPad(col("s"), "l", 7, "*").as("padl"),
+      Transformers.dxPad(col("s"), "r", 3, "*").as("padr_trunc"),
+      Transformers.dxReplace(col("s"), 1, 2, "__").as("repl")
+    ).collect()
+    // "DataX": substr(1,3)="ata"; lpad to 7 = "**DataX"; rpad to 3 truncates = "Dat"; replace [1,3) = "D__aX"
+    assert(out(0).getString(0) == "ata")
+    assert(out(0).getString(1) == "**DataX")
+    assert(out(0).getString(2) == "Dat")
+    assert(out(0).getString(3) == "D__aX")
+    // null: substr/replace pass null through; pad pads from ""
+    assert(out(1).isNullAt(0) && out(1).isNullAt(3))
+    assert(out(1).getString(1) == "*******")
+    // start beyond length -> null (DataX: dirty)
+    assert(spark.sql("SELECT 1").select(
+      Transformers.dxSubstr(lit("ab"), 5, 2)).head.isNullAt(0))
+  }
+
+  test("dx_filter: like is a FULL regex match; null never matches order ops") {
+    import spark.implicits._
+    val df = Seq(Option("abc"), Option("abcdef"), None).toDF("s")
+    // like 'abc' must match ONLY the exact-regex row (Java matches())
+    assert(Transformers.dxFilter(df, col("s"), "like", "abc").as[Option[String]].collect().toSet ==
+      Set(Option("abcdef"), None))
+    // > drops only non-null values greater than the literal
+    assert(Transformers.dxFilter(df, col("s"), ">", "abc").as[Option[String]].collect().toSet ==
+      Set(Option("abc"), None))
+    // = "null" matches null (FilterTransformer.java:205-212)
+    assert(Transformers.dxFilter(df, col("s"), "=", "null").as[Option[String]].collect().toSet ==
+      Set(Option("abc"), Option("abcdef")))
+  }
+
+  test("dirty router: malformed events quarantined with reasons; clean events pass") {
+    import spark.implicits._
+    val rows = Seq(
+      graft.model.ChangeEvent(0, 1L, "I", "doc1", Array(1, 2), 2L, "cc", null),
+      graft.model.ChangeEvent(0, 2L, "X", "doc2", Array(1), 1L, "cc", null), // bad op
+      graft.model.ChangeEvent(0, 3L, "I", "", Array(1), 1L, "cc", null),     // empty key
+      graft.model.ChangeEvent(0, 4L, "U", "doc3", Array(1, 2, 3), 99L, "cc", null), // n_tok mismatch
+      graft.model.ChangeEvent(0, 5L, "D", "doc1", null, null, null, null)    // delete: null payload OK
+    ).toDF()
+    val q = tmpDir("graft-quarantine")
+    val split = DirtyRouter.route(rows, batchId = 7, Some(q))
+    assert(split.cleanRows == 2 && split.dirtyRows == 3)
+    val quarantined = spark.read.parquet(q)
+    assert(quarantined.count() == 3)
+    assert(quarantined.select("_reason").distinct().collect().map(_.getString(0)).toSet ==
+      Set("unknown_op", "null_or_empty_doc_id", "token_payload_mismatch"))
+    // errorLimit.record = 0 -> fail
+    intercept[DirtyRouter.ErrorLimitExceeded] {
+      DirtyRouter.route(rows, 8, None, DirtyRouter.ErrorLimit(record = 0))
+    }
+    // percentage 0.5 -> 3/5 = 0.6 > 0.5 -> fail
+    intercept[DirtyRouter.ErrorLimitExceeded] {
+      DirtyRouter.route(rows, 9, None, DirtyRouter.ErrorLimit(percentage = 0.5))
+    }
+  }
+
+  test("job spec end-to-end: parse JSON, transformer chain, replay with metrics") {
+    val dir = tmpDir("graft-job")
+    val cfg = GenConfig(nEvents = 8000, nDocs = 1500, nShards = 4, nSegments = 4,
+      avgTokens = 8)
+    ChangeLogGen.write(spark, cfg, s"$dir/log")
+    val json =
+      s"""{
+         |  "reader": { "logDir": "$dir/log" },
+         |  "writer": { "tableDir": "$dir/table", "checkpointDir": "$dir/cp",
+         |              "nBuckets": 8 },
+         |  "transformers": [
+         |    {"name": "dx_filter", "column": "source", "op": "=", "value": "books"}
+         |  ],
+         |  "speed": { "maxFilesPerTrigger": 4 },
+         |  "errorLimit": { "record": 0, "quarantineDir": "$dir/dirty" }
+         |}""".stripMargin
+    val spec = JobSpec.parse(json)
+    assert(spec.nBuckets == 8 && spec.maxFilesPerTrigger == 4 && spec.errorRecordLimit == 0)
+
+    val metrics = new ReplayMetrics
+    val table = Replay.replay(
+      spark, spec.logDir, spec.tableDir, spec.checkpointDir,
+      nBuckets = spec.nBuckets, maxFilesPerTrigger = spec.maxFilesPerTrigger,
+      transform = spec.transformFn,
+      quarantineDir = spec.quarantineDir,
+      errorLimit = DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),
+      metrics = Some(metrics))
+
+    // the dx_filter dropped every books-sourced event BEFORE the merge
+    assert(table.read().filter(col("source") === "books").count() == 0)
+    assert(table.read().count() > 0)
+    // null-source rows (deletes) are KEPT by dx_filter ('=' never
+    // matches null unless value is the literal "null") — mirror that
+    val log = spark.read.schema(ChangeLog.schema).parquet(s"$dir/log")
+      .filter(!coalesce(col("source") === "books", lit(false)))
+    // metrics counted the exact post-transform rows and all batches;
+    // generator produces no dirty rows, so errorLimit.record=0 not hit
+    assert(metrics.readRecords.get == log.count())
+    assert(metrics.batches.get > 0 && metrics.dirtyRecords.get == 0)
+    val mism = graft.verify.Oracle.diff(
+      graft.verify.Oracle.expectedState(spark, log), table.read())
+    assert(mism.isEmpty, mism.mkString("; "))
+    // final report file written
+    metrics.report(spark, spec.tableDir, "test")
+    assert(new java.io.File(s"${spec.tableDir}/metrics/replay-test.json").exists())
+  }
+}
