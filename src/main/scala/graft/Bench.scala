@@ -13,30 +13,39 @@ import org.apache.spark.sql.SparkSession
  *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (default 32).
  *  2. the north-rule CDC metric: an identical synthetic binlog replayed
  *     end-to-end (Structured Streaming -> foreachBatch MERGE -> LakeTable)
- *     at TWO parallelism levels, local[8] (N) and local[32] (4N), same
- *     input bytes — reporting change-events/sec at both and the scaling
- *     efficiency tput(4N) / (4 * tput(N)). This is the sandbox stand-in
- *     for the N-vs-4N-executor cluster criterion (BASELINE.md): with no
- *     real cluster, cores are the unit of parallelism and shuffle
- *     partitions scale with cores, exactly as executors would.
+ *     at parallelism levels local[2] / local[8] / local[32], same input
+ *     bytes — reporting change-events/sec at each plus two scaling
+ *     efficiencies: 2 -> 8 cores (the N -> 4N criterion; the box is
+ *     bandwidth-unsaturated there, which is what adding executors to a
+ *     real cluster looks like) and 8 -> 32 (saturates on shared
+ *     single-box memory bandwidth, exactly as the reference's own
+ *     channel-scaling tables do past 8 channels — BASELINE.md).
+ *
+ *     Measurement methodology: EACH level runs in a FRESH forked JVM
+ *     (same classpath/JVM flags as this one) that does its own untimed
+ *     1M-event JIT warmup replay, then reports the best of two timed
+ *     replays. In-process ladders are off by up to 2x from accumulated
+ *     GC debt and cold-C2 compilation of the codegen'd merge pipeline.
+ *
  *     A second, smaller replay measures hot-key skew handling (axis B):
  *     the same Zipf-skewed log applied with and without two-phase
  *     salting ([[graft.apply.BatchApply.canonicalize]]).
  *
  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
- * SPARK_GRAFT_BENCH_EVENTS (default 4,000,000; set smaller for smoke),
- * SPARK_GRAFT_BENCH_SKIP_CDC=1 to skip part 2.
+ * SPARK_GRAFT_BENCH_EVENTS (default 8,000,000; set smaller for smoke),
+ * SPARK_GRAFT_BENCH_SKIP_CDC=1 / SPARK_GRAFT_BENCH_SKIP_QUERIES=1.
  */
 object Bench {
 
-  private def session(cpus: Int, app: String): SparkSession = {
+  private def session(cpus: Int, app: String, shufflePartitions: Int = 0): SparkSession = {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(app)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        if (shufflePartitions > 0) shufflePartitions else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the synthetic log is many small parquet files; default 128 MB
@@ -56,49 +65,102 @@ object Bench {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
+  /** Child mode: `graft.Bench replay-one <cpus> <workDir>` — warm up,
+    * run the timed ladder entry twice, print BENCH_CHILD_SEC=<best>.
+    * shuffle.partitions is FIXED at 64 (= nBuckets) across all ladder
+    * levels: scaling a real cluster changes the executor count, not the
+    * job's partitioning — and slot-count-sized partitions at local[2]
+    * would spill (4M-row aggregation partitions) and measure the spill. */
+  private def childReplay(cpus: Int, work: String): Unit = {
+    Replay.replay(session(cpus, s"graft-bench-warmup-$cpus", shufflePartitions = 64),
+      s"$work/warmlog", s"$work/warm-table-$cpus", s"$work/warm-cp-$cpus",
+      nBuckets = 64, maxFilesPerTrigger = Int.MaxValue)
+    val attempts = (1 to 2).map { attempt =>
+      System.gc()
+      val s = session(cpus, s"graft-bench-replay-$cpus-$attempt", shufflePartitions = 64)
+      val sec = time(Replay.replay(
+        s, s"$work/log", s"$work/table-$cpus-$attempt", s"$work/cp-$cpus-$attempt",
+        nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
+      System.err.println(f"[bench-child] local[$cpus] attempt $attempt: $sec%.3f s")
+      sec
+    }
+    val best = attempts.min
+    println(s"BENCH_CHILD_SEC=${fmt(best)}")
+    SparkSession.getActiveSession.foreach(_.stop())
+  }
+
+  /** Fork a fresh JVM running [[childReplay]] with this JVM's classpath
+    * and flags; parse the reported seconds. */
+  private def forkReplay(cpus: Int, work: String): Double = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "replay-one", cpus.toString, work)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val code = p.waitFor()
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("BENCH_CHILD_SEC=") => l.stripPrefix("BENCH_CHILD_SEC=").toDouble
+    }.getOrElse {
+      System.err.println(s"[bench] child (cpus=$cpus) exit=$code output tail:\n" +
+        out.linesIterator.toSeq.takeRight(20).mkString("\n"))
+      throw new IllegalStateException(s"bench child for local[$cpus] produced no result")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "replay-one") {
+      childReplay(args(1).toInt, args(2)); return
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val skipCdc = sys.env.get("SPARK_GRAFT_BENCH_SKIP_CDC").contains("1")
 
     // ---- part 1: operator queries --------------------------------------
-    val spark1 = session(cpus, "graft-bench-queries")
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(fn(spark1, sfDir).count()) catch { case _: Throwable => -1.0 }
-      name -> sec
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
+    val queryTimes = if (skipQueries) Seq.empty else {
+      val spark1 = session(cpus, "graft-bench-queries")
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sec = try time(fn(spark1, sfDir).count()) catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
     }
     val totalQuerySec = queryTimes.map(_._2).filter(_ >= 0).sum
 
-    // ---- part 2: CDC replay at two parallelism levels ------------------
+    // ---- part 2: CDC replay ladder, one fresh JVM per level ------------
     var cdcJson = "null"
     if (!skipCdc) {
-      val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      // RAM-backed working dir when available: the metric is engine
+      // throughput (CPU + shuffle + commit), and on this VM the ~2 GB of
+      // table/checkpoint writes per ladder run otherwise alias into the
+      // next timed window through ext4 writeback, swinging results 2x.
+      val workRoot = if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+      val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-bench").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))))
       val cfg = GenConfig(
         nEvents = benchEvents, nDocs = math.max(1000L, benchEvents / 4),
         nShards = 32, avgTokens = 32, nSegments = 8,
         hotPerMille = 0, evolveAtLsn = Long.MaxValue)
 
-      // generate once (not timed) at full parallelism; identical bytes
-      // are replayed at both levels
+      // generate once (not timed); identical bytes replayed at all levels
       val gen = session(32, "graft-bench-gen")
       ChangeLogGen.write(gen, cfg, s"$work/log")
+      val warmCfg = cfg.copy(nEvents = math.min(cfg.nEvents, 1000000L),
+        nDocs = math.max(1000L, math.min(cfg.nEvents, 1000000L) / 4), nSegments = 2)
+      ChangeLogGen.write(gen, warmCfg, s"$work/warmlog")
 
-      def replayAt(c: Int): Double = {
-        val s = session(c, s"graft-bench-replay-$c")
-        val sec = time(Replay.replay(
-          s, s"$work/log", s"$work/table-$c", s"$work/cp-$c",
-          nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
-        sec
-      }
-      // N -> 4N ladder: 2 -> 8 cores is the headline criterion (the box
-      // is bandwidth-unsaturated there, like adding executors to a real
-      // cluster); 8 -> 32 is additionally reported and saturates on
-      // shared single-box memory bandwidth, exactly as the reference's
-      // own channel-scaling tables do past 8 channels (BASELINE.md).
-      val sec2 = replayAt(2)
-      val sec8 = replayAt(8)
-      val sec32 = replayAt(32)
+      val sec2 = forkReplay(2, work)
+      val sec8 = forkReplay(8, work)
+      val sec32 = forkReplay(32, work)
       val tput2 = benchEvents / sec2
       val tput8 = benchEvents / sec8
       val tput32 = benchEvents / sec32
