@@ -114,9 +114,11 @@ class ConvergenceProps extends AnyFunSuite {
     val pre = randomEvents(new Random(7), n = 120, keys = 15)
     val table = Replay.createTable(spark, s"${tmpDir("prop4")}/t", nBuckets = 8)
     BatchApply.apply(table, toDF(pre), batchId = 0)
-    // post-evolution batch: lang set on updates
+    // post-evolution batch: lang set, DISJOINT key space so pre-evolution
+    // rows survive and must read back through the evolved schema
     val post = randomEvents(new Random(8), n = 120, keys = 15).map { e =>
-      e.copy(lsn = e.lsn + 200, lang = if (e.op == "D") null else "en")
+      e.copy(doc_id = s"p_${e.doc_id}", lsn = e.lsn + 200,
+        lang = if (e.op == "D") null else "en")
     }
     BatchApply.apply(table, toDF(post), batchId = 1)
     val sch = table.current.schema
