@@ -147,7 +147,15 @@ object BatchApply {
           .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
       }
 
-      val files = table.writeDataFiles(merged, snap.schemaId)
+      // write-side shuffle elision: bucketExpr IS Spark's shuffle hash,
+      // so when the session's shuffle partition count equals nBuckets,
+      // the merge output (exchanged on doc_id) already confines every
+      // bucket to a single task — write straight through. (AQE may
+      // coalesce/split partitions; per-file manifest stats keep that
+      // correct, it only costs extra files.)
+      val aligned = batch.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "0") == snap.nBuckets.toString
+      val files = table.writeDataFiles(merged, snap.schemaId, repartitionByBucket = !aligned)
       table.commit(files, touched, batchId, watermarks, lineage, snap.version)
     } finally canonical.unpersist(false)
   }

@@ -78,8 +78,15 @@ object LakeTable {
         StructField(DeletedCol, BooleanType, nullable = false))
   }
 
+  /** Bucket of a key: `pmod(murmur3(doc_id), nBuckets)` — deliberately
+    * the SAME function Spark's HashPartitioning uses for shuffle
+    * partition ids (`hash()` = Murmur3, seed 42). Consequence: any
+    * exchange keyed on doc_id with numPartitions == nBuckets lands each
+    * bucket wholly inside one task, so the MERGE output can be written
+    * per-bucket without a further repartition (see
+    * [[graft.apply.BatchApply]]). */
   def bucketExpr(docId: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(docId), lit(nBuckets.toLong)).cast("int")
+    pmod(hash(docId), lit(nBuckets)).cast("int")
 
   // ---------------------------------------------------------------- json
 
@@ -226,42 +233,68 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   // --------------------------------------------------------------- write
 
-  /** Write `df` (physical rows WITH a `bucket` column) as one parquet file
-    * per touched bucket under data/, returning manifest entries. Not yet
-    * visible — call [[commit]] to publish. */
-  def writeDataFiles(df: DataFrame, schemaId: Int): Seq[DataFile] = {
+  /** Write `df` (physical rows WITH a `bucket` column) as parquet files
+    * under data/ (typically one per touched bucket), returning manifest
+    * entries. Not yet visible — call [[commit]] to publish.
+    *
+    * `repartitionByBucket = false` skips the write-side shuffle: callers
+    * use it when the incoming partitioning already confines each bucket
+    * to one task (the MERGE join's hash(doc_id) exchange with
+    * numPartitions == nBuckets — see [[LakeTable.bucketExpr]]). Stats
+    * are collected per staged FILE, so multiple files per bucket (AQE
+    * skew splits, unaligned callers) stay correct. */
+  def writeDataFiles(df: DataFrame, schemaId: Int, repartitionByBucket: Boolean = true): Seq[DataFile] = {
     val s = current
     val tmpName = s"stage-${UUID.randomUUID()}"
     val stage = new Path(root, tmpName)
     val phys = s.physicalSchema(schemaId)
     val cols = phys.fieldNames.map(col).toIndexedSeq :+ col("bucket")
-    df.select(cols: _*)
-      .repartition(col("bucket"))
+    val projected = df.select(cols: _*)
+    val arranged = if (repartitionByBucket) projected.repartition(col("bucket")) else projected
+    arranged
       .sortWithinPartitions(col("bucket"), col("doc_id"))
       .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
 
-    // move part files into data/, collect per-file stats from footers-free
-    // aggregate (one small job over the staged files)
-    val staged = spark.read.schema(StructType(phys.fields :+ StructField("bucket", IntegerType)))
-      .option("basePath", stage.toString).parquet(stage.toString)
-    val stats = staged.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("rows"), min(col(LsnCol)).as("minLsn"), max(col(LsnCol)).as("maxLsn"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-
+    // per-file stats from parquet FOOTERS (metadata only, driver-side,
+    // no executor job): row counts + _lsn min/max come from the column
+    // chunk statistics the writer already recorded — the Iceberg-style
+    // alternative to re-scanning everything just written
     val entries = scala.collection.mutable.ArrayBuffer[DataFile]()
     fs.listStatus(stage).filter(_.isDirectory).foreach { d =>
       val b = d.getPath.getName.stripPrefix("bucket=").toInt
-      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val (rows, minL, maxL) = footerStats(f.getPath)
         val name = s"bucket=$b/${UUID.randomUUID()}.parquet"
         val dst = new Path(root, s"data/$name")
         fs.mkdirs(dst.getParent)
         fs.rename(f.getPath, dst)
-        val (rows, minL, maxL) = stats(b)
         entries += DataFile(s"data/$name", b, rows, minL, maxL, schemaId)
       }
     }
     fs.delete(stage, true)
     entries.toSeq
+  }
+
+  /** (rows, min _lsn, max _lsn) of one parquet file, from its footer. */
+  private def footerStats(p: Path): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val lsnStats = blocks.flatMap { blk =>
+        blk.getColumns.asScala
+          .find(_.getPath.toDotString == LsnCol)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty)
+      }
+      require(lsnStats.nonEmpty, s"no $LsnCol statistics in footer of $p")
+      val mins = lsnStats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+      val maxs = lsnStats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+      (rows, mins.min, maxs.max)
+    } finally reader.close()
   }
 
   /** Publish a new snapshot: replace all files of `replacedBuckets` with
