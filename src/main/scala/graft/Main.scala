@@ -34,6 +34,8 @@ object Main {
       .fold(builder)(m => builder.master(m)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    spec.preSql.foreach(spark.sql(_).collect()) // DataX preSql analog
+
     val metrics = new ReplayMetrics
     val table = Replay.replay(
       spark, spec.logDir, spec.tableDir, spec.checkpointDir,
@@ -44,6 +46,8 @@ object Main {
       quarantineDir = spec.quarantineDir,
       errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),
       metrics = Some(metrics))
+
+    spec.postSql.foreach(spark.sql(_).collect()) // DataX postSql analog
 
     metrics.report(spark, spec.tableDir, tag)
     val snap = table.current

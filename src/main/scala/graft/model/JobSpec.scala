@@ -39,7 +39,12 @@ final case class JobSpec(
     errorRecordLimit: Long,
     errorPercentageLimit: Double,
     quarantineDir: Option[String],
-    transformers: Seq[TransformerSpec]) {
+    transformers: Seq[TransformerSpec],
+    /** arbitrary SQL run before/after the replay (DataX preSql/postSql,
+      * `CommonRdbmsWriter.java:88-166` — e.g. register views, swap a
+      * shadow table). */
+    preSql: Seq[String] = Nil,
+    postSql: Seq[String] = Nil) {
 
   /** Compose the transformer chain into one DataFrame function (the
     * analog of BufferedRecordTransformerExchanger's per-record chain). */
@@ -104,6 +109,14 @@ object JobSpec {
       quarantineDir = (j \ "errorLimit" \ "quarantineDir") match {
         case JString(s) => Some(s); case _ => None
       },
-      transformers = transformers)
+      transformers = transformers,
+      preSql = sqlList(j \ "writer" \ "preSql"),
+      postSql = sqlList(j \ "writer" \ "postSql"))
+  }
+
+  private def sqlList(v: JValue): Seq[String] = v match {
+    case JArray(xs) => xs.collect { case JString(s) => s }
+    case JString(s) => Seq(s)
+    case _ => Nil
   }
 }

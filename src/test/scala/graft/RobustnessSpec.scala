@@ -1,0 +1,92 @@
+package graft
+
+import graft.apply.BatchApply
+import graft.functions.TableExpand
+import graft.gen.ChangeLogGen
+import graft.lake.LakeTable
+import graft.model.GenConfig
+import graft.stream.Replay
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-protocol robustness + source-format parity tests. */
+class RobustnessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-robustness")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("concurrent snapshot commit: the rename-race loser fails, state stays consistent") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = tmpDir("graft-race")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 8)
+    val log = ChangeLogGen.events(spark, GenConfig(nEvents = 2000, nDocs = 400, nShards = 2))
+    val snap = BatchApply.apply(table, log, batchId = 0)
+    // a second writer that thinks it's at the same expected version must
+    // lose: either the pre-check or the descriptor rename race
+    intercept[IllegalStateException] {
+      table.commit(Nil, Set.empty, batchId = 99, Map.empty, Nil,
+        expectedVersion = snap.version - 1)
+    }
+    assert(table.current.batchId == 0) // winner's state intact
+  }
+
+  test("crash debris: orphan tmp + unreferenced data files are invisible and vacuumable") {
+    val dir = tmpDir("graft-debris")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 8)
+    val log = ChangeLogGen.events(spark, GenConfig(nEvents = 2000, nDocs = 400, nShards = 2))
+    BatchApply.apply(table, log, batchId = 0)
+    val before = table.read().count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-commit: stray snapshot tmp + orphan data file
+    val strayTmp = new Path(s"$dir/t/snapshots/.tmp-crashed")
+    val o1 = fs.create(strayTmp, true); o1.write("{}".getBytes); o1.close()
+    val orphan = new Path(s"$dir/t/data/bucket=0/orphan-not-committed.parquet")
+    val o2 = fs.create(orphan, true); o2.write(Array[Byte](1, 2, 3)); o2.close()
+    // readers see only committed state (orphan never referenced)
+    assert(table.read().count() == before)
+    assert(table.currentVersion == 1)
+    // vacuum removes the orphan data file
+    table.vacuum()
+    assert(!fs.exists(orphan))
+    assert(table.read().count() == before)
+  }
+
+  test("hdfsreader parity: ORC round-trip matches the parquet source") {
+    val dir = tmpDir("graft-orc")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").orc(s"$dir/events_orc")
+    val orc = spark.read.orc(s"$dir/events_orc")
+    val a = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su")).orderBy("event_type").collect()
+    val b = orc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su")).orderBy("event_type").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("sharded-table expansion (TableExpandUtil parity)") {
+    assert(TableExpand.expand("db.tab[0-3]_x") ==
+      Seq("db.tab0_x", "db.tab1_x", "db.tab2_x", "db.tab3_x"))
+    assert(TableExpand.expand("plain_table") == Seq("plain_table"))
+    assert(TableExpand.expandAll("a[1-2], b") == Seq("a1", "a2", "b"))
+  }
+
+  test("preSql/postSql parse from the job spec") {
+    val spec = graft.model.JobSpec.parse(
+      """{"reader": {"logDir": "/x"},
+        | "writer": {"tableDir": "/y", "checkpointDir": "/z",
+        |   "preSql": ["SELECT 1"], "postSql": ["SELECT 2", "SELECT 3"]}}""".stripMargin)
+    assert(spec.preSql == Seq("SELECT 1"))
+    assert(spec.postSql == Seq("SELECT 2", "SELECT 3"))
+  }
+}
