@@ -16,18 +16,20 @@ import org.apache.spark.sql.expressions.Window
 object SparkEntry {
 
   /** Flagship: the CDC engine end-to-end at test scale — generate a
-    * deterministic change log, MERGE-replay it into a LakeTable, return
-    * the final doc store state. Driver smoke-checks rows>0. */
+    * deterministic change log to disk, STREAM-replay it (Structured
+    * Streaming, multi-batch, checkpointed) into a LakeTable with
+    * mid-stream schema evolution, return the final doc-store state.
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    import graft.apply.BatchApply
     import graft.gen.ChangeLogGen
     import graft.model.GenConfig
     import graft.stream.Replay
     val dir = java.nio.file.Files.createTempDirectory("graft-entry").toString
     val cfg = GenConfig(nEvents = 5000, nDocs = 800, nShards = 4,
-      avgTokens = 8, evolveAtLsn = 3000)
-    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 8)
-    BatchApply.apply(table, ChangeLogGen.events(spark, cfg), batchId = 0)
+      avgTokens = 8, evolveAtLsn = 3000, nSegments = 4)
+    ChangeLogGen.write(spark, cfg, s"$dir/log")
+    val table = Replay.replay(spark, s"$dir/log", s"$dir/table", s"$dir/cp",
+      nBuckets = 8, maxFilesPerTrigger = 8)
     table.read()
   }
 
