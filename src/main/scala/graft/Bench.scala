@@ -76,9 +76,11 @@ object Bench {
     Replay.replay(session(cpus, s"graft-bench-warmup-$cpus", shufflePartitions = 64),
       s"$work/warmlog", s"$work/warm-table-$cpus", s"$work/warm-cp-$cpus",
       nBuckets = 64, maxFilesPerTrigger = Int.MaxValue)
-    // best-of-3 everywhere: the sandbox VM sees sporadic hypervisor CPU
-    // steal (~2% average, bursty), which best-of-N absorbs
-    val nAttempts = 3
+    // best-of-N: the sandbox VM sees sporadic hypervisor CPU steal
+    // (~2% average, bursty), which best-of-N absorbs. The 1-core rung
+    // gets 2 attempts (longest runs average steal out; bounds total
+    // bench runtime)
+    val nAttempts = if (cpus == 1) 2 else 3
     val attempts = (1 to nAttempts).map { attempt =>
       System.gc()
       val s = session(cpus, s"graft-bench-replay-$cpus-$attempt", shufflePartitions = 64)
@@ -171,10 +173,26 @@ object Bench {
       // bandwidth); 8 and 32 extend the curve into single-box DRAM
       // saturation, disclosed alongside (the reference's own channel
       // tables show the same shape: 0.90 at 1->4ch, 0.42 at 4->16ch).
-      val sec1 = forkReplay(1, work)
-      val sec4 = forkReplay(4, work)
-      val sec8 = forkReplay(8, work)
-      val sec32 = forkReplay(32, work)
+      // forked measurement with in-process fallback: a fork failure
+      // (exotic classpath/launcher) must degrade to noisier numbers,
+      // never to a missing BENCH line
+      def measure(c: Int): Double =
+        try forkReplay(c, work)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[bench] fork failed for local[$c] (${e.getMessage}); in-process fallback")
+            (1 to 2).map { attempt =>
+              System.gc()
+              val s = session(c, s"graft-bench-inproc-$c-$attempt", shufflePartitions = 64)
+              time(Replay.replay(
+                s, s"$work/log", s"$work/table-ip-$c-$attempt", s"$work/cp-ip-$c-$attempt",
+                nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
+            }.min
+        }
+      val sec1 = measure(1)
+      val sec4 = measure(4)
+      val sec8 = measure(8)
+      val sec32 = measure(32)
       val tput1 = benchEvents / sec1
       val tput4 = benchEvents / sec4
       val tput8 = benchEvents / sec8
