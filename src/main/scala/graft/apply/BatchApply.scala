@@ -70,10 +70,29 @@ object BatchApply {
     else StructType(widened :+ StructField("lang", StringType, nullable = true))
   }
 
+  /** Change fraction below which a touched bucket takes a merge-on-read
+    * DELTA file instead of a copy-on-write rewrite. */
+  val DefaultDeltaThreshold = 0.05
+
+  /** Max stacked delta files per bucket before a COW is forced (bounds
+    * read-side resolution work). */
+  val DefaultMaxDeltaChain = 4
+
   /** Apply one micro-batch. Returns the committed (or current, if fenced)
-    * snapshot. */
+    * snapshot.
+    *
+    * Write-mode per touched bucket (the COW/MOR tradeoff): when the
+    * batch changes less than `deltaThreshold` of a bucket's base rows
+    * and the bucket's delta chain is shorter than `maxDeltaChain`, the
+    * canonical changes are APPENDED as a delta file (merge-on-read —
+    * readers resolve max-lsn per key, [[LakeTable.readResolved]]);
+    * otherwise the bucket is copy-on-written, which also folds any
+    * existing delta chain. This keeps steady-state write amplification
+    * proportional to the change volume, not the table size. */
   def apply(table: LakeTable, batch: DataFrame, batchId: Long, saltBuckets: Int = 1,
-      assumeOrdered: Boolean = false): LakeTable.Snapshot = {
+      assumeOrdered: Boolean = false,
+      deltaThreshold: Double = DefaultDeltaThreshold,
+      maxDeltaChain: Int = DefaultMaxDeltaChain): LakeTable.Snapshot = {
     var snap = table.current
     // ---- exactly-once fence: retry of an already-committed batch
     if (batchId >= 0 && batchId <= snap.batchId) return snap
@@ -107,44 +126,36 @@ object BatchApply {
       .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ---- manifest-level pruning: only buckets with changed keys are read
-      val touched = canonical.select(col("bucket")).distinct().collect().map(_.getInt(0)).toSet
+      // ---- manifest-level pruning + per-bucket change counts in one job
+      val changedPerBucket = canonical.groupBy(col("bucket")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val touched = changedPerBucket.keySet
       if (touched.isEmpty) return snap
+
+      // ---- write-mode decision per bucket (COW vs merge-on-read delta)
+      val baseRows = snap.files.filter(f => !f.delta && touched(f.bucket))
+        .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(_.rows).sum }
+      val deltaChain = snap.files.filter(f => f.delta && touched(f.bucket))
+        .groupBy(_.bucket).map { case (b, fs) => b -> fs.size }
+      val deltaBuckets = touched.filter { b =>
+        val base = baseRows.getOrElse(b, 0L)
+        base > 0 && deltaChain.getOrElse(b, 0) < maxDeltaChain &&
+          changedPerBucket(b).toDouble / base <= deltaThreshold
+      }
+      val cowBuckets = touched -- deltaBuckets
 
       val userSchema = snap.schema
       val changeTypes = canonical.schema.fields.map(f => f.name -> f.dataType).toMap
-      val targetFiles = snap.files.exists(f => touched.contains(f.bucket))
 
-      val merged = if (!targetFiles) {
-        // fast path (first batch / all-new buckets): no target rows to
-        // merge against — project the canonical batch straight to the
-        // physical schema, skipping the join entirely
+      /** canonical rows projected straight to the physical schema. */
+      def asPhysical(df: DataFrame): DataFrame = {
         val userCols = userSchema.fields.map { f =>
           graft.lake.SchemaCompat.castTo(col(f.name), changeTypes(f.name), f.dataType).as(f.name)
         }.toIndexedSeq
-        canonical.select(userCols ++ Seq(
+        df.select(userCols ++ Seq(
           col("lsn").as(LakeTable.LsnCol),
           (col("op") === "D").as(LakeTable.DeletedCol),
           col("bucket")): _*)
-      } else {
-        val t = table.readPhysical(Some(touched), Some(snap)).as("t")
-        val c = canonical.as("c")
-        val joined = t.join(c, col("t.doc_id") === col("c.doc_id"), "full_outer")
-
-        val changeWins = col("t.doc_id").isNull ||
-          (col("c.doc_id").isNotNull && col("c.lsn") > col(s"t.${LakeTable.LsnCol}"))
-
-        val userCols = userSchema.fields.map { f =>
-          val fromChange = graft.lake.SchemaCompat.castTo(
-            col(s"c.${f.name}"), changeTypes(f.name), f.dataType)
-          when(changeWins, fromChange).otherwise(col(s"t.${f.name}")).as(f.name)
-        }.toIndexedSeq
-        joined.select(
-          userCols ++ Seq(
-            when(changeWins, col("c.lsn")).otherwise(col(s"t.${LakeTable.LsnCol}")).as(LakeTable.LsnCol),
-            when(changeWins, col("c.op") === "D").otherwise(col(s"t.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol)
-          ): _*)
-          .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
       }
 
       // write-side shuffle elision: bucketExpr IS Spark's shuffle hash,
@@ -155,8 +166,48 @@ object BatchApply {
       // correct, it only costs extra files.)
       val aligned = batch.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "0") == snap.nBuckets.toString
-      val files = table.writeDataFiles(merged, snap.schemaId, repartitionByBucket = !aligned)
-      table.commit(files, touched, batchId, watermarks, lineage, snap.version)
+
+      // ---- COW side: full-outer merge against the resolved target
+      val cowFiles: Seq[LakeTable.DataFile] = if (cowBuckets.isEmpty) Nil else {
+        val cowCanonical =
+          if (deltaBuckets.isEmpty) canonical
+          else canonical.filter(col("bucket").isin(cowBuckets.toSeq.map(Integer.valueOf): _*))
+        val targetFiles = snap.files.exists(f => cowBuckets.contains(f.bucket))
+        val merged = if (!targetFiles) {
+          // fast path (first batch / all-new buckets): nothing to merge
+          asPhysical(cowCanonical)
+        } else {
+          val t = table.readResolved(Some(cowBuckets), Some(snap)).as("t")
+          val c = cowCanonical.as("c")
+          val joined = t.join(c, col("t.doc_id") === col("c.doc_id"), "full_outer")
+
+          val changeWins = col("t.doc_id").isNull ||
+            (col("c.doc_id").isNotNull && col("c.lsn") > col(s"t.${LakeTable.LsnCol}"))
+
+          val userCols = userSchema.fields.map { f =>
+            val fromChange = graft.lake.SchemaCompat.castTo(
+              col(s"c.${f.name}"), changeTypes(f.name), f.dataType)
+            when(changeWins, fromChange).otherwise(col(s"t.${f.name}")).as(f.name)
+          }.toIndexedSeq
+          joined.select(
+            userCols ++ Seq(
+              when(changeWins, col("c.lsn")).otherwise(col(s"t.${LakeTable.LsnCol}")).as(LakeTable.LsnCol),
+              when(changeWins, col("c.op") === "D").otherwise(col(s"t.${LakeTable.DeletedCol}")).as(LakeTable.DeletedCol)
+            ): _*)
+            .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
+        }
+        table.writeDataFiles(merged, snap.schemaId, repartitionByBucket = !aligned)
+      }
+
+      // ---- delta side: append the canonical changes as overlay files
+      val deltaFiles: Seq[LakeTable.DataFile] = if (deltaBuckets.isEmpty) Nil else {
+        val deltaCanonical = canonical.filter(
+          col("bucket").isin(deltaBuckets.toSeq.map(Integer.valueOf): _*))
+        table.writeDataFiles(asPhysical(deltaCanonical), snap.schemaId,
+          repartitionByBucket = !aligned).map(_.copy(delta = true))
+      }
+
+      table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
     } finally canonical.unpersist(false)
   }
 }

@@ -54,7 +54,11 @@ object LakeTable {
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
 
-  final case class DataFile(path: String, bucket: Int, rows: Long, minLsn: Long, maxLsn: Long, schemaId: Int)
+  /** `delta=true` marks a merge-on-read file: its rows OVERLAY the
+    * bucket's base rows, resolved at read time by max `_lsn` per key
+    * (Iceberg-v2 positional-delete analog expressed as upsert rows). */
+  final case class DataFile(path: String, bucket: Int, rows: Long, minLsn: Long, maxLsn: Long,
+      schemaId: Int, delta: Boolean = false)
 
   final case class LineageEntry(batchId: Long, shard: Int, minLsn: Long, maxLsn: Long, rows: Long)
 
@@ -100,7 +104,8 @@ object LakeTable {
     "nBuckets" -> JInt(s.nBuckets),
     "files" -> JArray(s.files.toList.map(f => JObject(
       "path" -> JString(f.path), "bucket" -> JInt(f.bucket), "rows" -> JLong(f.rows),
-      "minLsn" -> JLong(f.minLsn), "maxLsn" -> JLong(f.maxLsn), "schemaId" -> JInt(f.schemaId)))),
+      "minLsn" -> JLong(f.minLsn), "maxLsn" -> JLong(f.maxLsn), "schemaId" -> JInt(f.schemaId),
+      "delta" -> JBool(f.delta)))),
     "batchId" -> JLong(s.batchId),
     "watermarks" -> JObject(s.watermarks.toList.sortBy(_._1).map { case (k, v) => k.toString -> JLong(v) }),
     "lineage" -> JArray(s.lineage.toList.map(l => JObject(
@@ -121,7 +126,8 @@ object LakeTable {
       nBuckets = i(j \ "nBuckets"),
       files = (j \ "files").asInstanceOf[JArray].arr.map { f =>
         DataFile((f \ "path").extract[String], i(f \ "bucket"), l(f \ "rows"),
-          l(f \ "minLsn"), l(f \ "maxLsn"), i(f \ "schemaId"))
+          l(f \ "minLsn"), l(f \ "maxLsn"), i(f \ "schemaId"),
+          delta = (f \ "delta") match { case JBool(b) => b; case _ => false })
       },
       batchId = l(j \ "batchId"),
       watermarks = (j \ "watermarks").asInstanceOf[JObject].obj.map { case (k, v) => k.toInt -> l(v) }.toMap,
@@ -225,9 +231,35 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }.toIndexedSeq: _*)
   }
 
-  /** User-visible rows: tombstones filtered, system columns dropped. */
+  /** Physical rows RESOLVED to one row per key: where a bucket carries
+    * merge-on-read delta files, base and delta rows collapse to the
+    * max-`_lsn` winner per doc_id. Buckets without deltas skip the
+    * resolution shuffle entirely (plain COW read path). */
+  def readResolved(buckets: Option[Set[Int]] = None, snapshot: Option[Snapshot] = None): DataFrame = {
+    val s = snapshot.getOrElse(current)
+    val wanted: DataFile => Boolean = buckets match {
+      case Some(bs) => f => bs.contains(f.bucket)
+      case None => _ => true
+    }
+    val deltaBuckets = s.files.filter(f => f.delta && wanted(f)).map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) readPhysical(buckets, Some(s))
+    else {
+      val plainBuckets = s.files.filter(wanted).map(_.bucket).toSet -- deltaBuckets
+      val physCols = s.physicalSchema(s.schemaId).fieldNames.toSeq
+      val payload = struct(physCols.map(col): _*)
+      val resolved = readPhysical(Some(deltaBuckets), Some(s))
+        .groupBy(col("doc_id"))
+        .agg(max_by(payload, col(LsnCol)).as("w"))
+        .select(physCols.map(c => col(s"w.$c").as(c)): _*)
+      if (plainBuckets.isEmpty) resolved
+      else readPhysical(Some(plainBuckets), Some(s)).unionByName(resolved)
+    }
+  }
+
+  /** User-visible rows: deltas resolved, tombstones filtered, system
+    * columns dropped. */
   def read(snapshot: Option[Snapshot] = None): DataFrame =
-    readPhysical(None, snapshot).filter(!col(DeletedCol)).drop(LsnCol, DeletedCol)
+    readResolved(None, snapshot).filter(!col(DeletedCol)).drop(LsnCol, DeletedCol)
 
   def read(): DataFrame = read(None)
 
@@ -362,18 +394,22 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------- maintain
 
-  /** Rewrite buckets that contain tombstones, dropping them. Safe once the
-    * upstream no longer replays lsns below the tombstone lsn (i.e. past
-    * the checkpoint watermark). */
+  /** Rewrite buckets that contain tombstones or merge-on-read delta
+    * files: deltas fold into their base (one resolved row per key),
+    * tombstones drop. Tombstone removal is safe once the upstream no
+    * longer replays lsns below the tombstone lsn (i.e. past the
+    * checkpoint watermark). */
   def compact(): Snapshot = {
     val s = current
     val tomb = readPhysical(None, Some(s)).filter(col(DeletedCol))
       .select(bucketExpr(col("doc_id"), s.nBuckets)).distinct().collect().map(_.getInt(0)).toSet
-    if (tomb.isEmpty) return s
-    val live = readPhysical(Some(tomb), Some(s)).filter(!col(DeletedCol))
+    val withDeltas = s.files.filter(_.delta).map(_.bucket).toSet
+    val target = tomb ++ withDeltas
+    if (target.isEmpty) return s
+    val live = readResolved(Some(target), Some(s)).filter(!col(DeletedCol))
       .withColumn("bucket", bucketExpr(col("doc_id"), s.nBuckets))
     val files = writeDataFiles(live, s.schemaId)
-    commit(files, tomb, s.batchId, Map.empty, Nil, s.version)
+    commit(files, target, s.batchId, Map.empty, Nil, s.version)
   }
 
   /** Delete data files not referenced by the latest snapshot (crash debris,
