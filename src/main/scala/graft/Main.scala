@@ -42,6 +42,8 @@ object Main {
       nBuckets = spec.nBuckets,
       maxFilesPerTrigger = spec.maxFilesPerTrigger,
       saltBuckets = spec.saltBuckets,
+      deltaThreshold = spec.deltaThreshold,
+      maxDeltaChain = spec.maxDeltaChain,
       transform = spec.transformFn,
       quarantineDir = spec.quarantineDir,
       errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),

@@ -40,6 +40,11 @@ final case class JobSpec(
     errorPercentageLimit: Double,
     quarantineDir: Option[String],
     transformers: Seq[TransformerSpec],
+    /** merge-on-read knobs: change fraction below which a touched bucket
+      * takes a delta overlay instead of COW, and the max delta chain
+      * length before a COW folds it. */
+    deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
+    maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
     /** arbitrary SQL run before/after the replay (DataX preSql/postSql,
       * `CommonRdbmsWriter.java:88-166` — e.g. register views, swap a
       * shadow table). */
@@ -110,6 +115,10 @@ object JobSpec {
         case JString(s) => Some(s); case _ => None
       },
       transformers = transformers,
+      deltaThreshold = dbl(j \ "writer" \ "deltaThreshold",
+        graft.apply.BatchApply.DefaultDeltaThreshold),
+      maxDeltaChain = num(j \ "writer" \ "maxDeltaChain",
+        graft.apply.BatchApply.DefaultMaxDeltaChain.toLong).toInt,
       preSql = sqlList(j \ "writer" \ "preSql"),
       postSql = sqlList(j \ "writer" \ "postSql"))
   }

@@ -63,6 +63,8 @@ object Replay {
       nBuckets: Int = 64,
       maxFilesPerTrigger: Int = Int.MaxValue,
       saltBuckets: Int = 1,
+      deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
+      maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
       stopAfterBatches: Int = Int.MaxValue,
       transform: DataFrame => DataFrame = identity,
       quarantineDir: Option[String] = None,
@@ -107,7 +109,8 @@ object Replay {
             split.clean
           }
         val before = table.current.batchId
-        BatchApply.apply(table, batch, batchId, saltBuckets)
+        BatchApply.apply(table, batch, batchId, saltBuckets,
+          deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain)
         metrics.foreach { m =>
           m.batches.incrementAndGet()
           if (batchId <= before) m.fencedBatches.incrementAndGet()
