@@ -41,6 +41,8 @@ object Main {
       spark, spec.logDir, spec.tableDir, spec.checkpointDir,
       nBuckets = spec.nBuckets,
       maxFilesPerTrigger = spec.maxFilesPerTrigger,
+      maxBytesPerTrigger = spec.maxBytesPerTrigger,
+      eventsPerSecond = spec.eventsPerSecond,
       saltBuckets = spec.saltBuckets,
       deltaThreshold = spec.deltaThreshold,
       maxDeltaChain = spec.maxDeltaChain,
@@ -54,8 +56,12 @@ object Main {
     metrics.report(spark, spec.tableDir, tag)
     val snap = table.current
     println(s"graft job done: ${metrics.toJson}")
+    // base rows only: delta-overlay rows REPLACE base rows at read time,
+    // so summing every file would double-count merge-on-read buckets
+    val baseRows = snap.files.filterNot(_.delta).map(_.rows).sum
+    val deltaRows = snap.files.filter(_.delta).map(_.rows).sum
     println(s"table ${spec.tableDir} v${snap.version} batchId=${snap.batchId} " +
-      s"rows=${snap.files.map(_.rows).sum} files=${snap.files.size} " +
+      s"baseRows=$baseRows deltaOverlayRows=$deltaRows files=${snap.files.size} " +
       s"watermarks=${snap.watermarks.toSeq.sortBy(_._1).mkString(",")}")
     spark.stop()
   }

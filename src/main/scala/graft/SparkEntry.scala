@@ -132,11 +132,10 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))),
 
-    // exact dedup (training-data op): documents by content hash
+    // exact dedup (training-data op): documents by content hash — the
+    // md5 key (not raw text) is what ships through the shuffle
     "q11_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      graft.operators.Dedup.exactGroups(t(s, dir, "documents"))
         .select(col("keep_id"), col("dup_count"))),
 
     // token counting (training-data op): whitespace tokenization
@@ -265,14 +264,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("out_degree"), round(sum(col("o_totalprice")), 2).as("total_weight"))
     }),
 
-    // §2.1 quantile split (Oracle SAMPLE analog, exact): NTILE ranges
-    "q30_quantile_split" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("tile", ntile(8).over(w))
+    // §2.1 quantile split (Oracle SAMPLE analog, exact): distributed
+    // two-stage ntile — no global single-partition window
+    "q30_quantile_split" -> ((s, dir) =>
+      graft.operators.Split.exactNtile(t(s, dir, "orders"), col("o_orderkey"), 8)
         .groupBy(col("tile"))
-        .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("lo"),
-          max(col("o_orderkey")).as("hi"))
+        .agg(count(lit(1)).as("n_rows"), min(col("k")).as("lo"),
+          max(col("k")).as("hi"))),
+
+    // §2.1 string-range split (RangeSplitUtil radix-128): WHERE-range
+    // planning over a string primary key
+    "q31_string_range_split" -> ((s, dir) =>
+      graft.operators.Split.stringRangeSplit(t(s, dir, "part"), col("p_name"), 8)),
+
+    // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
+    // through the TransformerSpec machinery itself
+    "q32_expr_transform" -> ((s, dir) => {
+      val spec = graft.model.TransformerSpec("dx_expr", "tagged",
+        Map("expr" -> "upper(substring(text, 1, 8)) || '_' || lang"))
+      spec(t(s, dir, "documents"))
+        .select(col("doc_id"), col("tagged"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -323,7 +335,7 @@ object SparkEntry {
         |round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2""".stripMargin,
     "q11_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
-        |FROM documents GROUP BY text""".stripMargin,
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "q12_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
         |length(text) AS n_chars_calc FROM documents""".stripMargin,
@@ -482,6 +494,13 @@ object SparkEntry {
     "q30_quantile_split" ->
       """WITH x AS (SELECT o_orderkey, ntile(8) OVER (ORDER BY o_orderkey) AS tile FROM orders)
         |SELECT tile, count(*) AS n_rows, min(o_orderkey) AS lo, max(o_orderkey) AS hi
-        |FROM x GROUP BY tile""".stripMargin
+        |FROM x GROUP BY tile""".stripMargin,
+
+    "q31_string_range_split" ->
+      graft.operators.Split.stringRangeSplitSql("part", "p_name", 8),
+
+    "q32_expr_transform" ->
+      """SELECT doc_id, upper(substr(text, 1, 8)) || '_' || lang AS tagged
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

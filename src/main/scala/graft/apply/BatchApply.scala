@@ -164,8 +164,10 @@ object BatchApply {
       // bucket to a single task — write straight through. (AQE may
       // coalesce/split partitions; per-file manifest stats keep that
       // correct, it only costs extra files.)
-      val aligned = batch.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "0") == snap.nBuckets.toString
+      // (read via sessionState: RuntimeConfig.get(key, default) VALIDATES
+      // the default string, and "0" is rejected when the session never
+      // set the key explicitly — the spark-submit case)
+      val aligned = batch.sparkSession.sessionState.conf.numShufflePartitions == snap.nBuckets
 
       // ---- COW side: full-outer merge against the resolved target
       val cowFiles: Seq[LakeTable.DataFile] = if (cowBuckets.isEmpty) Nil else {

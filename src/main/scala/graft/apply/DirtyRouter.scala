@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
  * (they are exact, not sampled), and [[ErrorLimit]] turns them into the
  * reference's fail-the-job semantics.
  *
- * Scale notes: the split is one pass (filter + negated filter over the
- * same scan, both pushed into the batch plan); quarantine writes are
- * append-only per batch (tiny unless the pipeline is broken, in which
- * case failing fast is the point).
+ * Scale notes: the tagged batch is persisted for the duration of the
+ * routing pass, so the count aggregation, the quarantine write and the
+ * clean side all read ONE materialization of the micro-batch (not three
+ * re-evaluations of the source scan + transform chain) — the caller
+ * releases it after the MERGE consumes the clean side. Quarantine writes
+ * go to a batch-scoped partition directory with overwrite, which makes a
+ * foreachBatch RETRY of the same batch replace (never duplicate) its
+ * quarantine output.
  */
 object DirtyRouter {
 
@@ -49,34 +53,51 @@ object DirtyRouter {
       .otherwise(lit(null))
   }
 
-  final case class Split(clean: DataFrame, dirty: DataFrame, cleanRows: Long, dirtyRows: Long)
+  final case class Split(clean: DataFrame, dirty: DataFrame, cleanRows: Long, dirtyRows: Long,
+      private val cached: Option[DataFrame] = None) {
+    /** Release the persisted micro-batch once the MERGE has consumed the
+      * clean side. */
+    def release(): Unit = cached.foreach(_.unpersist(false))
+  }
 
-  /** Split a batch into clean/dirty by [[invalidReason]]; append the
-    * dirty side (with `_reason`, `_batch_id`) to `quarantineDir` if set;
-    * enforce `limit`. One aggregation computes the exact counts. */
+  /** Split a batch into clean/dirty by [[invalidReason]]; write the
+    * dirty side (with `_reason`) under `quarantineDir/batch_id=<id>` if
+    * set (overwrite — idempotent under batch retry); enforce `limit`.
+    * The tagged batch is persisted so counts, quarantine rows and the
+    * clean side come from one evaluation — call [[Split.release]] when
+    * done with the clean side. */
   def route(batch: DataFrame, batchId: Long, quarantineDir: Option[String],
       limit: ErrorLimit = ErrorLimit()): Split = {
     val tagged = batch.withColumn("_reason", invalidReason())
-    val counts = tagged.groupBy(col("_reason").isNull.as("ok")).count()
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val cleanRows = counts.getOrElse(true, 0L)
-    val dirtyRows = counts.getOrElse(false, 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = tagged.groupBy(col("_reason").isNull.as("ok")).count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val cleanRows = counts.getOrElse(true, 0L)
+      val dirtyRows = counts.getOrElse(false, 0L)
 
-    val dirty = tagged.filter(col("_reason").isNotNull)
-      .withColumn("_batch_id", lit(batchId))
-    if (dirtyRows > 0) quarantineDir.foreach { dir =>
-      dirty.write.mode("append").parquet(dir)
+      val dirty = tagged.filter(col("_reason").isNotNull)
+      if (dirtyRows > 0) quarantineDir.foreach { dir =>
+        // batch-scoped partition dir + overwrite: a retried batch
+        // REPLACES its own quarantine output instead of appending a
+        // duplicate copy; readers of `dir` see batch_id as a partition
+        // column via standard parquet partition discovery
+        dirty.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+      }
+
+      if (limit.record >= 0 && dirtyRows > limit.record)
+        throw new ErrorLimitExceeded(
+          s"dirty records $dirtyRows > errorLimit.record ${limit.record} (batch $batchId)")
+      val total = cleanRows + dirtyRows
+      if (!limit.percentage.isNaN && total > 0 &&
+          dirtyRows.toDouble / total > limit.percentage)
+        throw new ErrorLimitExceeded(
+          f"dirty fraction ${dirtyRows.toDouble / total}%.4f > errorLimit.percentage ${limit.percentage}%.4f (batch $batchId)")
+
+      Split(tagged.filter(col("_reason").isNull).drop("_reason"), dirty, cleanRows, dirtyRows,
+        cached = Some(tagged))
+    } catch {
+      case e: Throwable => tagged.unpersist(false); throw e
     }
-
-    if (limit.record >= 0 && dirtyRows > limit.record)
-      throw new ErrorLimitExceeded(
-        s"dirty records $dirtyRows > errorLimit.record ${limit.record} (batch $batchId)")
-    val total = cleanRows + dirtyRows
-    if (!limit.percentage.isNaN && total > 0 &&
-        dirtyRows.toDouble / total > limit.percentage)
-      throw new ErrorLimitExceeded(
-        f"dirty fraction ${dirtyRows.toDouble / total}%.4f > errorLimit.percentage ${limit.percentage}%.4f (batch $batchId)")
-
-    Split(tagged.filter(col("_reason").isNull).drop("_reason"), dirty, cleanRows, dirtyRows)
   }
 }

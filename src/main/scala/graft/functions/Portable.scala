@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
  * synthetic source also follows, `streamreader/.../StreamReader.java:96-167`).
  *
  * Performance note: `md5` is not whole-stage-codegen'd as tightly as
- * `xxhash64`, so the CDC hot path (graft.lake / graft.apply) keeps using
- * `xxhash64`; these portable hashes are for the oracle-checked
+ * the native hashes, so the CDC hot path (graft.lake / graft.apply)
+ * uses Spark's codegen'd murmur3 `hash()` (which doubles as the shuffle
+ * partitioner — see [[graft.lake.LakeTable.bucketExpr]]); these
+ * portable hashes are for the oracle-checked
  * training-data operators (dedup / LSH / fingerprinting), where the
  * dominant cost is the shingling itself, not the hash.
  */

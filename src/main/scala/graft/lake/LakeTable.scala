@@ -54,6 +54,13 @@ object LakeTable {
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
 
+  /** Table-format identity stamped into every snapshot descriptor. A
+    * reader whose build disagrees must FAIL LOUDLY at load: a table
+    * bucketed by a different hash silently mis-buckets — merges read the
+    * wrong base files and compact() rewrites the wrong buckets. */
+  val FormatVersion = 2
+  val BucketFn = "murmur3_pmod" // Spark hash() = Murmur3_x86_32 seed 42, pmod nBuckets
+
   /** `delta=true` marks a merge-on-read file: its rows OVERLAY the
     * bucket's base rows, resolved at read time by max `_lsn` per key
     * (Iceberg-v2 positional-delete analog expressed as upsert rows). */
@@ -95,6 +102,8 @@ object LakeTable {
   // ---------------------------------------------------------------- json
 
   private def snapToJson(s: Snapshot): JValue = JObject(
+    "formatVersion" -> JInt(FormatVersion),
+    "bucketFn" -> JString(BucketFn),
     "version" -> JLong(s.version),
     "parent" -> JLong(s.parent),
     "schemaId" -> JInt(s.schemaId),
@@ -116,6 +125,11 @@ object LakeTable {
     implicit val fmts: Formats = DefaultFormats
     def l(v: JValue): Long = v.extract[Long]
     def i(v: JValue): Int = v.extract[Int]
+    val fv = (j \ "formatVersion") match { case JInt(v) => v.toInt; case _ => -1 }
+    val bf = (j \ "bucketFn") match { case JString(s) => s; case _ => "<missing>" }
+    require(fv == FormatVersion && bf == BucketFn,
+      s"table format mismatch: snapshot declares formatVersion=$fv bucketFn=$bf but this " +
+        s"build reads formatVersion=$FormatVersion bucketFn=$BucketFn — refusing to mis-bucket")
     Snapshot(
       version = l(j \ "version"),
       parent = l(j \ "parent"),

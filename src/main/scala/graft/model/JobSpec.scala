@@ -21,9 +21,11 @@ import org.json4s.jackson.JsonMethods
  *                "nBuckets": 256, "saltBuckets": 1 },
  *   "transformers": [
  *     {"name": "dx_filter", "column": "source", "op": "=", "value": "spam"},
- *     {"name": "dx_pad", "column": "lang", "padTo": "l", "length": 5, "pad": "_"}
+ *     {"name": "dx_pad", "column": "lang", "padTo": "l", "length": 5, "pad": "_"},
+ *     {"name": "dx_expr", "column": "source", "expr": "lower(trim(source))"}
  *   ],
- *   "speed":      { "maxFilesPerTrigger": 64 },
+ *   "speed":      { "maxFilesPerTrigger": 64, "maxBytesPerTrigger": 134217728,
+ *                   "eventsPerSecond": 500000 },
  *   "errorLimit": { "record": 0, "percentage": 0.01,
  *                   "quarantineDir": "/data/dirty" }
  * }
@@ -36,6 +38,13 @@ final case class JobSpec(
     nBuckets: Int,
     saltBuckets: Int,
     maxFilesPerTrigger: Int,
+    /** flow-control caps — the DataX channel byte/record limits
+      * (`core/.../channel/Channel.java:176-239`): bytes admitted per
+      * micro-batch (file-source `maxBytesPerTrigger`; -1 = off) and a
+      * sustained events/sec ceiling enforced by pacing between batches
+      * (-1 = off). */
+    maxBytesPerTrigger: Long = -1L,
+    eventsPerSecond: Long = -1L,
     errorRecordLimit: Long,
     errorPercentageLimit: Double,
     quarantineDir: Option[String],
@@ -67,6 +76,14 @@ final case class TransformerSpec(
   import graft.functions.Transformers._
 
   def apply(df: DataFrame): DataFrame = name match {
+    // arbitrary-SQL-expression transform — the engine's answer to
+    // dx_groovy / the ComplexTransformer SPI (reference
+    // `GroovyTransformer.java:25-88`): instead of a per-record script
+    // engine, any Spark SQL expression over the row's columns, which
+    // stays inside Catalyst codegen. `column` names the output column
+    // (may overwrite an existing one).
+    case "dx_expr" =>
+      df.withColumn(column, org.apache.spark.sql.functions.expr(params("expr")))
     case "dx_substr" =>
       df.withColumn(column, dxSubstr(col(column), params("start").toInt, params("length").toInt))
     case "dx_pad" =>
@@ -109,6 +126,8 @@ object JobSpec {
       nBuckets = num(j \ "writer" \ "nBuckets", 64).toInt,
       saltBuckets = num(j \ "writer" \ "saltBuckets", 1).toInt,
       maxFilesPerTrigger = num(j \ "speed" \ "maxFilesPerTrigger", Int.MaxValue).toInt,
+      maxBytesPerTrigger = num(j \ "speed" \ "maxBytesPerTrigger", -1L),
+      eventsPerSecond = num(j \ "speed" \ "eventsPerSecond", -1L),
       errorRecordLimit = num(j \ "errorLimit" \ "record", -1L),
       errorPercentageLimit = dbl(j \ "errorLimit" \ "percentage", Double.NaN),
       quarantineDir = (j \ "errorLimit" \ "quarantineDir") match {

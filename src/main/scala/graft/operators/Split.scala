@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Split planners — the reference's table-split machinery re-expressed as
+ * distributed plans (DataX `plugin-rdbms-util/.../RangeSplitUtil.java` +
+ * `SingleTableSplitUtil.java`).
+ *
+ * [[exactNtile]] replaces the naive global-window `ntile()` (a
+ * single-partition sort: Spark warns "Moving all data to a single
+ * partition") with a two-stage exact quantile split in the spirit of the
+ * reference's Oracle sampling splitter
+ * (`SingleTableSplitUtil.genSplitSqlForOracle:294-389`) but exact:
+ *   1. bucket rows into `coarseRanges` contiguous key ranges (driver
+ *      computes only min/max — 2 values);
+ *   2. count per range (one map-side-combined aggregation, `coarseRanges`
+ *      rows to the driver) → cumulative offsets;
+ *   3. rank WITHIN each range (window partitioned by range — parallel),
+ *      global rank = range offset + local rank, tile from the closed-form
+ *      ntile formula.
+ * Every shuffle is keyed; no stage ever sees more than one range's rows.
+ *
+ * [[stringRangeSplit]] is the radix-128 string split
+ * (`RangeSplitUtil.java:105-171`, `doAsciiStringSplit`): strip the
+ * common prefix of min/max, interpret the next `chars` characters as
+ * base-128 digits, then even-width range split over that numeric domain —
+ * how a JDBC reader splits a string primary key into WHERE ranges.
+ */
+object Split {
+
+  /** Exact distributed ntile over a unique numeric key. Returns the
+    * input projected to (k = key, tile ∈ 1..tiles). */
+  def exactNtile(df: DataFrame, key: Column, tiles: Int, coarseRanges: Int = 64): DataFrame = {
+    val b = df.agg(min(key).as("lo"), max(key).as("hi")).head()
+    val lo = b.getLong(0)
+    val hi = b.getLong(1)
+    val width = math.max(1L, (hi - lo + coarseRanges) / coarseRanges) // ceil-ish, covers hi
+    val ranged = df.select(key.as("k"))
+      .withColumn("range_id",
+        least(floor((col("k") - lo) / width).cast("long"), lit(coarseRanges - 1L)))
+
+    // per-range counts -> cumulative start offsets (driver: <= coarseRanges rows)
+    val counts = ranged.groupBy(col("range_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    require(total >= tiles, s"exactNtile: $total rows < $tiles tiles")
+    var acc = 0L
+    val offsets = counts.keys.toSeq.sorted.map { id => val o = acc; acc += counts(id); id -> o }
+    val offMap = map(offsets.flatMap { case (id, o) => Seq(lit(id), lit(o)) }: _*)
+
+    // closed-form ntile over the 0-based global rank r:
+    //   first `rem` tiles hold base+1 rows, the rest hold base rows
+    val base = total / tiles
+    val rem = total % tiles
+    val w = Window.partitionBy(col("range_id")).orderBy(col("k"))
+    val rank0 = element_at(offMap, col("range_id")) + row_number().over(w) - 1
+    val tile = when(lit(rem) > 0 && rank0 < rem * (base + 1),
+        floor(rank0 / (base + 1)).cast("int") + 1)
+      .otherwise(lit(rem.toInt) + floor((rank0 - rem * (base + 1)) / base).cast("int") + 1)
+    ranged.withColumn("tile", tile).select(col("k"), col("tile"))
+  }
+
+  /** Base-128 positional value of the `chars` characters following a
+    * fixed prefix of length `prefixLen` (1-based positions prefixLen+1..
+    * prefixLen+chars). Characters past end-of-string contribute 0
+    * (`ascii('') = 0` in both engines); codepoints above 127 clamp. */
+  def stringPrefixValue(key: Column, prefixLen: Int, chars: Int): Column =
+    (1 to chars).map { i =>
+      least(ascii(substring(key, prefixLen + i, 1)), lit(127)).cast("long") *
+        lit(1L << (7 * (chars - i)))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL for [[stringPrefixValue]] with a prefix-length expression
+    * `lExpr` (BIGINT) in scope. */
+  def stringPrefixValueSql(e: String, lExpr: String, chars: Int): String =
+    (1 to chars).map { i =>
+      s"least(ascii(substr($e, CAST($lExpr + $i AS INT), 1)), 127)::BIGINT * ${1L << (7 * (chars - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** Radix-128 string range split: per-range row counts for `k` even
+    * ranges of the post-common-prefix character domain. Returns
+    * (range_id, n_rows). Mirrors `RangeSplitUtil.doAsciiStringSplit`. */
+  def stringRangeSplit(df: DataFrame, key: Column, k: Int, chars: Int = 4): DataFrame = {
+    val b = df.agg(min(key).as("mn"), max(key).as("mx")).head()
+    val (mn, mx) = (b.getString(0), b.getString(1))
+    val maxL = math.min(mn.length, mx.length)
+    var l = 0
+    while (l < maxL && mn.charAt(l) == mx.charAt(l)) l += 1
+    def pvOf(s: String): Long =
+      (1 to chars).map { i =>
+        val c = if (l + i <= s.length) math.min(s.charAt(l + i - 1).toInt, 127) else 0
+        c.toLong * (1L << (7 * (chars - i)))
+      }.sum
+    val lo = pvOf(mn)
+    val hi = pvOf(mx)
+    val width = (hi - lo + k) / k // >= 1: hi >= lo and +k guarantees it
+    val pv = stringPrefixValue(key, l, chars)
+    df.select(least(floor((pv - lit(lo)) / width).cast("long"), lit(k - 1L)).as("range_id"))
+      .groupBy(col("range_id")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** The full [[stringRangeSplit]] as one DuckDB statement over table
+    * `tbl`, key column `keyCol` — common prefix length, radix bounds and
+    * width all derived IN SQL so the oracle is self-contained. */
+  def stringRangeSplitSql(tbl: String, keyCol: String, k: Int, chars: Int = 4): String = {
+    val pvMn = stringPrefixValueSql("mn", "l", chars)
+    val pvMx = stringPrefixValueSql("mx", "l", chars)
+    val pvKey = stringPrefixValueSql(s"$tbl.$keyCol", "w.l", chars)
+    s"""WITH b AS (SELECT min($keyCol) AS mn, max($keyCol) AS mx FROM $tbl),
+       |p AS (SELECT mn, mx,
+       |  list_max(list_filter(range(0, least(length(mn), length(mx)) + 1),
+       |    i -> substr(mn, 1, CAST(i AS INT)) = substr(mx, 1, CAST(i AS INT)))) AS l FROM b),
+       |v AS (SELECT l, $pvMn AS lo, $pvMx AS hi FROM p),
+       |w AS (SELECT l, lo, CAST(floor((hi - lo + $k) / $k.0) AS BIGINT) AS width FROM v)
+       |SELECT least(CAST(floor(($pvKey - w.lo)::DOUBLE / w.width) AS BIGINT), ${k - 1}) AS range_id,
+       |count(*) AS n_rows FROM $tbl, w GROUP BY 1""".stripMargin
+  }
+}

@@ -20,11 +20,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  * throughput side.
  */
 final class ReplayMetrics {
-  val readRecords = new AtomicLong(0)   // rows entering the pipeline (exact, from the batch split)
+  val readRecords = new AtomicLong(0)   // rows entering the pipeline (exact: router split when
+                                        // routing is on, committed lineage rows otherwise)
   val sourceRows = new AtomicLong(0)    // listener-reported input rows; OVERCOUNTS when the
                                         // foreachBatch body runs several actions (each re-scans
                                         // the source and its metric re-accumulates) — fallback only
-  val writeRecords = new AtomicLong(0)  // rows surviving to the MERGE
+  val writeRecords = new AtomicLong(0)  // rows surviving to the MERGE (counted in BOTH paths)
   val dirtyRecords = new AtomicLong(0)  // rows quarantined
   val batches = new AtomicLong(0)
   val fencedBatches = new AtomicLong(0) // retried batches skipped by the fence

@@ -28,9 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType, StructFie
  * batch with the same batchId; BatchApply's fence skips it if the commit
  * already landed — no duplicates, no loss.
  *
- * Rate limiting: `maxFilesPerTrigger` bounds the events per micro-batch,
- * the declarative analog of DataX's channel byte/record flow control
- * (`core/.../channel/Channel.java:176-239`).
+ * Rate limiting — the declarative analog of DataX's channel byte/record
+ * flow control (`core/.../channel/Channel.java:176-239`):
+ * `maxFilesPerTrigger` / `maxBytesPerTrigger` bound what the file source
+ * ADMITS per micro-batch (the byteCapacity side), and `eventsPerSecond`
+ * paces the foreachBatch loop so the cumulative applied rate never
+ * exceeds the cap (the tps side — DataX sleeps its channel the same way,
+ * `Channel.statPush` flow-control interval).
  */
 object Replay {
 
@@ -62,6 +66,8 @@ object Replay {
       checkpointDir: String,
       nBuckets: Int = 64,
       maxFilesPerTrigger: Int = Int.MaxValue,
+      maxBytesPerTrigger: Long = -1L,
+      eventsPerSecond: Long = -1L,
       saltBuckets: Int = 1,
       deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
       maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
@@ -84,37 +90,67 @@ object Replay {
       l
     }
 
-    val stream = spark.readStream
-      .schema(ChangeLog.schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(logDir)
+    // the file source rejects files+bytes caps together: the byte cap
+    // (DataX byteCapacity analog) takes precedence when configured
+    val reader = spark.readStream.schema(ChangeLog.schema)
+    if (maxBytesPerTrigger > 0) reader.option("maxBytesPerTrigger", maxBytesPerTrigger)
+    else reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = reader.parquet(logDir)
 
     var batches = 0
+    var appliedRows = 0L
+    val paceStart = System.nanoTime()
     val query = stream.writeStream
       .queryName("graft-replay")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
-        val transformed = transform(raw)
-        val batch =
-          if (!routeDirty) transformed
-          else {
-            val split = graft.apply.DirtyRouter.route(
-              transformed, batchId, quarantineDir, errorLimit)
-            metrics.foreach { m =>
-              m.readRecords.addAndGet(split.cleanRows + split.dirtyRows)
-              m.dirtyRecords.addAndGet(split.dirtyRows)
-              m.writeRecords.addAndGet(split.cleanRows)
+        // dirty routing AND its metrics sit BEHIND the batch-id fence: a
+        // foreachBatch retry of an already-committed batch (crash between
+        // lake commit and checkpoint — exactly what stopAfterBatches
+        // exercises) must not re-quarantine rows or double-count. The
+        // quarantine write is additionally idempotent per batch
+        // (batch-scoped overwrite path in DirtyRouter).
+        val fenced = batchId >= 0 && batchId <= table.current.batchId
+        val split =
+          if (fenced || !routeDirty) None
+          else Some(graft.apply.DirtyRouter.route(
+            transform(raw), batchId, quarantineDir, errorLimit))
+        try {
+          if (!fenced) {
+            val batch = split.map(_.clean).getOrElse(transform(raw))
+            val snap = BatchApply.apply(table, batch, batchId, saltBuckets,
+              deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain)
+            if (snap.batchId == batchId)
+              appliedRows += snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
+            // tps cap: hold the NEXT batch back until cumulative rate
+            // drops under the ceiling
+            if (eventsPerSecond > 0 && appliedRows > 0) {
+              val minElapsedSec = appliedRows.toDouble / eventsPerSecond
+              val actualSec = (System.nanoTime() - paceStart) / 1e9
+              if (actualSec < minElapsedSec)
+                Thread.sleep(((minElapsedSec - actualSec) * 1000).toLong)
             }
-            split.clean
+            metrics.foreach { m =>
+              split match {
+                case Some(sp) =>
+                  m.readRecords.addAndGet(sp.cleanRows + sp.dirtyRows)
+                  m.dirtyRecords.addAndGet(sp.dirtyRows)
+                  m.writeRecords.addAndGet(sp.cleanRows)
+                case None if snap.batchId == batchId =>
+                  // no routing pass ran: exact counts come free from the
+                  // committed snapshot's lineage (rows applied per shard)
+                  val rows = snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
+                  m.readRecords.addAndGet(rows)
+                  m.writeRecords.addAndGet(rows)
+                case None => () // empty batch: nothing committed, nothing to count
+              }
+            }
           }
-        val before = table.current.batchId
-        BatchApply.apply(table, batch, batchId, saltBuckets,
-          deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain)
+        } finally split.foreach(_.release())
         metrics.foreach { m =>
           m.batches.incrementAndGet()
-          if (batchId <= before) m.fencedBatches.incrementAndGet()
-          if (!routeDirty) () // writeRecords counted by the router when on
+          if (fenced) m.fencedBatches.incrementAndGet()
         }
         batches += 1
         // crash AFTER the lake commit but BEFORE the streaming checkpoint

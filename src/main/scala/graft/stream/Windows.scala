@@ -69,7 +69,10 @@ object Windows {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+                  // a late-but-within-watermark event may PRECEDE the
+                  // tracked session: extend the start backwards too
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
                 case Some(s) => // gap exceeded within the batch: close, start anew
                   closed ::= Session(userId, new java.sql.Timestamp(s.startMs),
                     new java.sql.Timestamp(s.lastMs), s.nEvents)

@@ -88,6 +88,60 @@ class JobSpecSuite extends AnyFunSuite {
     }
   }
 
+  test("dx_expr: arbitrary SQL expression transformer (dx_groovy analog)") {
+    import spark.implicits._
+    val df = Seq(("ab", 1), ("cde", 2)).toDF("s", "x")
+    val spec = graft.model.TransformerSpec("dx_expr", "y", Map("expr" -> "x * 10 + length(s)"))
+    assert(spec(df).select("y").collect().map(_.getInt(0)).toSet == Set(12, 23))
+    // overwrite an existing column, referencing other columns
+    val spec2 = graft.model.TransformerSpec("dx_expr", "s", Map("expr" -> "upper(s) || x"))
+    assert(spec2(df).select("s").collect().map(_.getString(0)).toSet == Set("AB1", "CDE2"))
+    // parses from job JSON like any other transformer
+    val parsed = JobSpec.parse(
+      """{"reader":{"logDir":"/l"},"writer":{"tableDir":"/t","checkpointDir":"/c"},
+        |"transformers":[{"name":"dx_expr","column":"y","expr":"x + 1"}]}""".stripMargin)
+    assert(parsed.transformers.head.params("expr") == "x + 1")
+  }
+
+  test("speed caps: maxBytesPerTrigger bounds batches; eventsPerSecond paces the replay") {
+    val dir = tmpDir("graft-speed")
+    val cfg = GenConfig(nEvents = 2000, nDocs = 500, nShards = 2, nSegments = 4, avgTokens = 8)
+    ChangeLogGen.write(spark, cfg, s"$dir/log")
+    val spec = JobSpec.parse(
+      s"""{"reader":{"logDir":"$dir/log"},
+         |"writer":{"tableDir":"$dir/table","checkpointDir":"$dir/cp","nBuckets":4},
+         |"speed":{"maxBytesPerTrigger":1,"eventsPerSecond":10000}}""".stripMargin)
+    assert(spec.maxBytesPerTrigger == 1L && spec.eventsPerSecond == 10000L)
+    val metrics = new ReplayMetrics
+    val t0 = System.nanoTime()
+    val table = Replay.replay(spark, spec.logDir, spec.tableDir, spec.checkpointDir,
+      nBuckets = spec.nBuckets, maxBytesPerTrigger = spec.maxBytesPerTrigger,
+      eventsPerSecond = spec.eventsPerSecond, metrics = Some(metrics))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // 1-byte budget admits one file per batch -> as many batches as segments
+    assert(metrics.batches.get >= 4, s"expected >=4 byte-capped batches, got ${metrics.batches.get}")
+    // 2000 events at <=10k ev/s must take >= 0.2s of paced wall time
+    assert(elapsed >= 0.2, f"pacing not applied: $elapsed%.3f s for 2000 events @10k/s")
+    assert(table.read().count() > 0)
+  }
+
+  test("quarantine writes are idempotent under batch retry (batch-scoped overwrite)") {
+    import spark.implicits._
+    val rows = Seq(
+      graft.model.ChangeEvent(0, 1L, "I", "doc1", Array(1, 2), 2L, "cc", null),
+      graft.model.ChangeEvent(0, 2L, "X", "doc2", Array(1), 1L, "cc", null) // bad op
+    ).toDF()
+    val q = tmpDir("graft-quarantine-retry")
+    DirtyRouter.route(rows, batchId = 3, Some(q)).release()
+    DirtyRouter.route(rows, batchId = 3, Some(q)).release() // simulated foreachBatch retry
+    val quarantined = spark.read.parquet(q)
+    assert(quarantined.count() == 1) // overwrite, not append: no duplicate
+    assert(quarantined.select("batch_id").head.getInt(0) == 3) // partition column from path
+    // a DIFFERENT batch appends alongside
+    DirtyRouter.route(rows, batchId = 4, Some(q)).release()
+    assert(spark.read.parquet(q).count() == 2)
+  }
+
   test("job spec end-to-end: parse JSON, transformer chain, replay with metrics") {
     val dir = tmpDir("graft-job")
     val cfg = GenConfig(nEvents = 8000, nDocs = 1500, nShards = 4, nSegments = 4,
