@@ -198,15 +198,18 @@ object SparkEntry {
       graft.operators.Similarity.bruteForceTopK(
         t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
 
-    // LSH-bucketed approximate top-k (random-hyperplane signatures)
+    // LSH-bucketed approximate top-k: 4 independent 8-bit tables with
+    // Hamming<=2 multi-probe (recall measured by q33)
     "q22_ann_lsh" -> ((s, dir) =>
       graft.operators.Similarity.lshTopK(
-        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5, bits = 4, dim = 64)),
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5, bits = 8, dim = 64,
+        probe = 2, tables = 4)),
 
-    // embedding-cosine near-dup pairs within LSH buckets
+    // embedding-cosine near-dup pairs: 2 independent 8-bit LSH tables
+    // (OR-amplification), exact-cosine verify
     "q23_embed_neardup" -> ((s, dir) =>
       graft.operators.Similarity.nearDupPairs(
-        t(s, dir, "embeddings"), threshold = 0.35, bits = 4, dim = 64)),
+        t(s, dir, "embeddings"), threshold = 0.35, bits = 8, dim = 64, tables = 2)),
 
     // multimodal binary-column plumbing: stub decode metadata
     "q24_multimodal_decode" -> ((s, dir) =>
@@ -276,6 +279,18 @@ object SparkEntry {
     // planning over a string primary key
     "q31_string_range_split" -> ((s, dir) =>
       graft.operators.Split.stringRangeSplit(t(s, dir, "part"), col("p_name"), 8)),
+
+    // measured recall@k of the LSH ANN path vs the exact baseline — the
+    // number that justifies the approximation at scale
+    "q33_ann_recall" -> ((s, dir) =>
+      graft.operators.Similarity.recallAtK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5, bits = 8, dim = 64,
+        probe = 2, tables = 4)),
+
+    // SimHash banded near-dup pairs: lossless band join for hamming<=3
+    "q34_simhash_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.simhashNearDup(
+        t(s, dir, "documents"), bands = 4, maxHamming = 3)),
 
     // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
     // through the TransformerSpec machinery itself
@@ -432,32 +447,49 @@ object SparkEntry {
         |SELECT anchor_id, rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin,
 
     "q22_ann_lsh" -> {
-      val bucket = graft.operators.Similarity.lshBucketSql("emb", 4, 64)
+      val ctes = graft.operators.Similarity.lshRankCtesSql(
+        "q", "vec_id % 100 = 0", bits = 8, dim = 64, probe = 2, tables = 4)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
-         |a AS (SELECT vec_id AS anchor_id, emb AS aemb, bucket FROM b WHERE vec_id % 100 = 0),
-         |s AS (SELECT a.anchor_id, b.vec_id AS neighbor_id,
-         |    round(list_sum(list_transform(range(1, len(a.aemb)+1), i -> a.aemb[i] * b.emb[i]))
-         |      / (sqrt(list_sum(list_transform(range(1, len(a.aemb)+1), i -> a.aemb[i]*a.aemb[i])))
-         |       * sqrt(list_sum(list_transform(range(1, len(b.emb)+1), i -> b.emb[i]*b.emb[i])))), 6) AS sim
-         |  FROM b JOIN a ON a.bucket = b.bucket AND b.vec_id <> a.anchor_id),
-         |r AS (SELECT anchor_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-         |  FROM s)
-         |SELECT anchor_id, rank, neighbor_id, sim FROM r WHERE rank <= 5""".stripMargin
+         |$ctes
+         |SELECT anchor_id, rank, neighbor_id, sim FROM qrk WHERE rank <= 5""".stripMargin
     },
 
     "q23_embed_neardup" -> {
-      val bucket = graft.operators.Similarity.lshBucketSql("emb", 4, 64)
+      val b0 = graft.operators.Similarity.lshBucketSql("emb", 8, 64, planeOffset = 0)
+      val b1 = graft.operators.Similarity.lshBucketSql("emb", 8, 64, planeOffset = 8)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+         |b AS (SELECT vec_id, emb, $b0 AS b0, $b1 AS b1 FROM e),
          |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |    round(list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i] * y.emb[i]))
          |      / (sqrt(list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i]*x.emb[i])))
          |       * sqrt(list_sum(list_transform(range(1, len(y.emb)+1), i -> y.emb[i]*y.emb[i])))), 6) AS sim
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |  FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1) AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""".stripMargin
     },
+
+    "q33_ann_recall" -> {
+      val sim = graft.operators.Similarity.simSql("a.aemb", "e.emb")
+      val ctes = graft.operators.Similarity.lshRankCtesSql(
+        "q", "vec_id % 100 = 0", bits = 8, dim = 64, probe = 2, tables = 4)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, emb AS aemb FROM e WHERE vec_id % 100 = 0),
+         |sx AS (SELECT a.anchor_id, e.vec_id AS neighbor_id, $sim AS sim
+         |  FROM a JOIN e ON e.vec_id <> a.anchor_id),
+         |rx AS (SELECT anchor_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sx),
+         |ex AS (SELECT anchor_id, neighbor_id FROM rx WHERE rank <= 5),
+         |$ctes,
+         |ap AS (SELECT anchor_id, neighbor_id FROM qrk WHERE rank <= 5),
+         |hits AS (SELECT ex.anchor_id, count(ap.neighbor_id) AS hits
+         |  FROM ex LEFT JOIN ap ON ex.anchor_id = ap.anchor_id AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY ex.anchor_id)
+         |SELECT count(*)::BIGINT AS n_anchors,
+         |  round(avg(hits::DOUBLE / 5), 6) AS avg_recall FROM hits""".stripMargin
+    },
+
+    "q34_simhash_pairs" ->
+      graft.operators.Dedup.simhashNearDupSql("documents", maxHamming = 3),
 
     "q24_multimodal_decode" -> graft.operators.Multimodal.decodedMetadataSql,
 

@@ -146,14 +146,30 @@ object Dedup {
   }
 
   /** 32-bit SimHash of the word multiset of `text`: bit b is set when
-    * Σ_words sign_b(word) >= 0, with sign_b a salted-md5 coin
-    * ([[Portable.sign]]). Pure array expressions — no explode, no UDF. */
+    * Σ_words sign_b(word) >= 0. All 32 signs of a word come from ONE
+    * md5 digest — sign_b = (hex nibble b+1 of md5(word)) < 8 — not 32
+    * salted digests (32× less hashing; each nibble of md5 is an
+    * unbiased coin). Pure array expressions — no explode, no UDF.
+    *
+    * HOF-interpretation trap avoided: the inner
+    * `transform(array(md5(w)), m => ...)` binds the digest to a lambda
+    * VARIABLE, so the 32 nibble reads reference `m` cheaply instead of
+    * re-hashing per bit (interpreted lambdas have no subexpression
+    * elimination — see [[graft.functions.Portable]] notes). */
   def simhash32(text: Column): Column = {
-    val ws = Portable.words(text)
-    val bitVals = transform(sequence(lit(0), lit(31)), b =>
-      when(aggregate(ws, lit(0), (acc, w) => acc + Portable.sign(w, b)) >= 0,
-        pow(lit(2.0), b).cast("long")).otherwise(lit(0L)))
-    aggregate(bitVals, lit(0L), (acc, v) => acc + v)
+    // per word: one digest -> a 32-element ±1 sign vector
+    val signVecs = transform(Portable.words(text), w =>
+      element_at(
+        transform(array(md5(w)), m =>
+          transform(sequence(lit(0), lit(31)), b =>
+            when(m.substr(b + lit(1), lit(1)) < "8", lit(1)).otherwise(lit(-1)))),
+        1))
+    // element-wise sum of sign vectors, then positional bit weights
+    val zeros = typedlit(Seq.fill(32)(0))
+    val sums = aggregate(signVecs, zeros, (acc, v) => zip_with(acc, v, (a, b) => a + b))
+    val powers = typedlit((0 until 32).map(b => 1L << b))
+    aggregate(zip_with(sums, powers, (s, p) => when(s >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
   }
 
   /** DuckDB SQL computing `simhash32` per doc_id over table `tbl` —
@@ -161,13 +177,62 @@ object Dedup {
   def simhash32Sql(tbl: String): String =
     s"""WITH w AS (
        |  SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS word FROM $tbl
+       |), m AS (SELECT doc_id, md5(word) AS m FROM w
        |), bits AS (
-       |  SELECT w.doc_id, b.bit, sum(${Portable.signSql("w.word", "b.bit")}) AS s
-       |  FROM w CROSS JOIN (SELECT unnest(range(32)) AS bit) b
-       |  GROUP BY w.doc_id, b.bit
+       |  SELECT m.doc_id, b.bit,
+       |    sum(CASE WHEN substr(m.m, CAST(b.bit + 1 AS INT), 1) < '8' THEN 1 ELSE -1 END) AS s
+       |  FROM m CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+       |  GROUP BY m.doc_id, b.bit
        |)
        |SELECT doc_id, sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** SimHash near-duplicate pairs via BANDED candidate generation: the
+    * 32-bit signature splits into `bands` equal bit-bands; two docs
+    * within Hamming distance `maxHamming < bands` MUST share at least
+    * one band (pigeonhole), so the candidate join is a hash shuffle on
+    * (band_idx, band_bits) — never an all-pairs comparison — and is
+    * LOSSLESS for the verified distance. Verification is a cheap
+    * `bit_count(xor)` on the candidate set.
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def simhashNearDup(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(32 % bands == 0, s"bands=$bands must divide 32")
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands for lossless banding (got $bands)")
+    val bandBits = 32 / bands
+    val mask = (1L << bandBits) - 1
+    // stage words -> signature in separate Projects (interpreted HOFs:
+    // one evaluation each), repartition a possibly-single-file input,
+    // then cut to the narrow (doc_id, sig) table the self-join ships
+    val sig = docs
+      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      .select(col("doc_id"), simhash32(col("text")).as("sig"))
+      .localCheckpoint(true)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB SQL for [[simhashNearDup]] — the banding is lossless for
+    * `maxHamming < bands`, so the oracle can verify against the direct
+    * all-pairs formulation (exact same result set). */
+  def simhashNearDupSql(tbl: String, maxHamming: Int): String =
+    s"""WITH s AS (${simhash32Sql(tbl)})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
 
   /** n-gram Jaccard of a small anchor set vs the corpus, as an INVERTED
     * INDEX join (the scalable sparse-similarity shape): explode shingles

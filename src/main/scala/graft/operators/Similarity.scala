@@ -10,16 +10,27 @@ import org.apache.spark.sql.functions._
  *  - [[bruteForceTopK]] — exact cosine top-k of a SMALL anchor set
  *    against the full corpus: anchors broadcast (one row per anchor per
  *    executor), the corpus is streamed through a single narrow pass, and
- *    the per-anchor top-k is a windowed rank over (anchor × corpus) —
- *    never an all-pairs product. This is the exact baseline you'd use to
- *    measure recall of the approximate path.
- *  - [[lshTopK]] / LSH bucketing — random-hyperplane signatures: each
- *    vector gets a `bits`-bit bucket id (sign of <w_j, v> for fixed
- *    deterministic hyperplanes w_j); candidates are same-bucket pairs, so
- *    the join is a hash shuffle on the bucket id and the quadratic term
- *    is bounded by bucket occupancy (corpus/2^bits on average). At scale
- *    you'd add multi-probe or repeat with independent hyperplane sets to
- *    recover recall; the plan shape is unchanged.
+ *    the per-anchor top-k is a PARTIAL-AGGREGATE top-k: each input
+ *    partition keeps only its own k best per anchor (bounded state),
+ *    then ≤ k·partitions rows merge per anchor — never a global
+ *    per-anchor sort of the full anchor×corpus score set (the windowed
+ *    `row_number` formulation funnels all N scores of an anchor through
+ *    one task; this one funnels k·partitions).
+ *  - [[lshTopK]] — random-hyperplane signatures: each vector gets a
+ *    `bits`-bit bucket id (sign of <w_j, v> for fixed deterministic
+ *    hyperplanes w_j); candidates come from the anchor's bucket plus all
+ *    buckets within Hamming distance `probe` (multi-probe: recovers the
+ *    recall that more bits cost, without more tables). The join stays a
+ *    hash shuffle on the bucket id; the quadratic term is bounded by
+ *    bucket occupancy (corpus/2^bits on average), and `bits` is the
+ *    scale knob — 2^bits buckets must comfortably exceed the cluster's
+ *    task count.
+ *  - [[nearDupPairs]] — L independent `bits`-bit tables (standard LSH
+ *    OR-amplification): a pair is a candidate when ANY table buckets it
+ *    together, then exact cosine verifies. Each table is an equi-join;
+ *    recall is tunable by L without touching the plan shape.
+ *  - [[recallAtK]] — measured recall of the approximate path against
+ *    the exact baseline, the number that justifies the approximation.
  *
  * Hyperplane weights are ±1 coins drawn from md5 of the constant string
  * "j_d" (hyperplane j, dimension d) at PLAN time — the Spark plan and
@@ -68,20 +79,22 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
 
-  /** `bits`-bit LSH bucket id of an embedding column. */
-  def lshBucket(v: Column, bits: Int, dim: Int): Column = {
-    val w = planeWeights(bits, dim)
+  /** `bits`-bit LSH bucket id of an embedding column, planes
+    * `planeOffset until planeOffset+bits` (the offset gives independent
+    * tables for OR-amplification). */
+  def lshBucket(v: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val w = planeWeights(planeOffset + bits, dim)
     (0 until bits).map { j =>
-      when(dotLit(v, w(j)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotLit(v, w(planeOffset + j)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
   /** DuckDB SQL for the same bucket id over expression `e` (a DOUBLE[]
     * of length `dim`). */
-  def lshBucketSql(e: String, bits: Int, dim: Int): String = {
-    val w = planeWeights(bits, dim)
+  def lshBucketSql(e: String, bits: Int, dim: Int, planeOffset: Int = 0): String = {
+    val w = planeWeights(planeOffset + bits, dim)
     (0 until bits).map { j =>
-      val lits = w(j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      val lits = w(planeOffset + j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> ($e)[i] * ($lits::DOUBLE[])[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
@@ -89,6 +102,56 @@ object Similarity {
   /** Rounded similarity from pre-normed sides: dot/(nrmA*nrmB). */
   private def simExpr(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
     round(dot(aEmb, bEmb) / (aNrm * bNrm), 6)
+
+  /** DuckDB SQL: 6-dp rounded cosine of two DOUBLE[] expressions. */
+  def simSql(x: String, y: String): String =
+    s"""round(list_sum(list_transform(range(1, len($x)+1), i -> ($x)[i] * ($y)[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, len($x)+1), i -> ($x)[i]*($x)[i])))
+       |       * sqrt(list_sum(list_transform(range(1, len($y)+1), i -> ($y)[i]*($y)[i])))), 6)""".stripMargin
+
+  /** DuckDB CTE chain (prefix `p` for uniqueness) mirroring [[lshTopK]]'s
+    * candidate generation + ranking over a CTE `e(vec_id, emb)`:
+    * `<p>rk(anchor_id, neighbor_id, sim, rank)`. Multi-table/multi-probe
+    * collapses to `OR_t bit_count(xor(bucket_t(a), bucket_t(c))) <= probe`
+    * — the exact same candidate set, pairs naturally deduped. */
+  def lshRankCtesSql(p: String, anchorWhere: String, bits: Int, dim: Int,
+      probe: Int, tables: Int): String = {
+    val bdefs = (0 until tables)
+      .map(t => s"${lshBucketSql("emb", bits, dim, planeOffset = t * bits)} AS b$t")
+      .mkString(", ")
+    val cond = (0 until tables)
+      .map(t => s"bit_count(xor(a.b$t, c.b$t)) <= $probe").mkString("(", " OR ", ")")
+    s"""${p}bkt AS (SELECT vec_id, emb, $bdefs FROM e),
+       |${p}anc AS (SELECT * FROM ${p}bkt WHERE $anchorWhere),
+       |${p}sc AS (SELECT a.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+       |    ${simSql("a.emb", "c.emb")} AS sim
+       |  FROM ${p}bkt c JOIN ${p}anc a ON $cond AND c.vec_id <> a.vec_id),
+       |${p}rk AS (SELECT anchor_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM ${p}sc)""".stripMargin
+  }
+
+  /** Distributed top-k of `scored` (anchor_id, neighbor_id, sim) rows
+    * per anchor: per-partition k-truncation (map side, bounded state)
+    * then a ≤ k·partitions merge per anchor. Returns
+    * (anchor_id, rank, neighbor_id, sim) ordered by sim desc with
+    * neighbor_id as the deterministic tiebreak. */
+  private def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val entry = struct((-col("sim")).as("negSim"),
+      col("neighbor_id").as("neighbor_id"), col("sim").as("sim"))
+    val local = scored
+      .groupBy(col("anchor_id"), spark_partition_id().as("_p"))
+      .agg(slice(array_sort(collect_list(entry)), 1, k).as("top"))
+    local.select(col("anchor_id"), explode(col("top")).as("t"))
+      .select(col("anchor_id"), col("t.negSim").as("negSim"),
+        col("t.neighbor_id").as("neighbor_id"), col("t.sim").as("sim"))
+      .groupBy(col("anchor_id"))
+      .agg(slice(array_sort(collect_list(struct(col("negSim"), col("neighbor_id"), col("sim")))),
+        1, k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
+  }
 
   /** Exact top-k: anchors (rows matching `anchorPred`) vs full corpus.
     * Returns (anchor_id, rank, neighbor_id, sim). */
@@ -99,43 +162,107 @@ object Similarity {
     val scored = corpus.join(broadcast(anchors), col("anchor_id") =!= col("vec_id"))
       .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
         simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("sim"))
+    partialTopK(scored, k)
   }
 
-  /** Approximate top-k: candidates restricted to the anchor's LSH bucket.
-    * Same output shape as [[bruteForceTopK]]. */
-  def lshTopK(emb: DataFrame, anchorPred: Column, k: Int, bits: Int, dim: Int): DataFrame = {
-    val bucketed = withNorm(emb)
-      .withColumn("bucket", lshBucket(col("emb"), bits, dim))
-    val anchors = bucketed.filter(anchorPred)
-      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"),
-        col("nrm").as("anrm"), col("bucket"))
-    val scored = bucketed.join(broadcast(anchors), Seq("bucket"))
+  /** Probe buckets within Hamming distance `probe` (0..2) of `bucket`. */
+  private def probeSet(bucket: Column, bits: Int, probe: Int): Seq[Column] = {
+    require(probe >= 0 && probe <= 2, "probe: 0 (exact), 1 (±1 bit), or 2 (±2 bits)")
+    val flips1 = (0 until bits).map(i => bucket.bitwiseXOR(lit(1L << i)))
+    val flips2 = for (i <- 0 until bits; j <- i + 1 until bits)
+      yield bucket.bitwiseXOR(lit((1L << i) | (1L << j)))
+    probe match {
+      case 0 => Seq(bucket)
+      case 1 => bucket +: flips1
+      case 2 => (bucket +: flips1) ++ flips2
+    }
+  }
+
+  /** Approximate top-k: candidates = vectors sharing a bucket with the
+    * anchor in ANY of `tables` independent `bits`-bit LSH tables, where
+    * the anchor probes all buckets within Hamming distance `probe`
+    * (multi-probe). Tables × probes buy recall; `bits` bounds bucket
+    * occupancy (the scale knob). Candidate IDs are dedup'd BEFORE
+    * scoring, so each (anchor, neighbor) pair is scored once no matter
+    * how many tables/probes it collided in. Same output shape as
+    * [[bruteForceTopK]]. */
+  def lshTopK(emb: DataFrame, anchorPred: Column, k: Int, bits: Int, dim: Int,
+      probe: Int = 1, tables: Int = 1): DataFrame = {
+    val base = withNorm(emb)
+    def tableBuckets(): Column = explode(array((0 until tables).map { t =>
+      struct(lit(t).as("table_id"),
+        lshBucket(col("emb"), bits, dim, planeOffset = t * bits).as("bucket"))
+    }: _*))
+    // narrow (vec_id, table_id, bucket) postings — embeddings don't ride
+    // through the candidate join
+    val corpusBuckets = base.select(col("vec_id"), tableBuckets().as("tb"))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    val anchorProbes = base.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), tableBuckets().as("tb"))
+      .select(col("anchor_id"), col("tb.table_id").as("table_id"),
+        explode(array(probeSet(col("tb.bucket"), bits, probe): _*)).as("bucket"))
+    val cand = corpusBuckets.join(broadcast(anchorProbes), Seq("table_id", "bucket"))
       .filter(col("anchor_id") =!= col("vec_id"))
-      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val anchorEmb = base.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
+    val scored = cand.join(base, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(anchorEmb), Seq("anchor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
         simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("sim"))
+    partialTopK(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: same LSH bucket AND
-    * cosine >= threshold. Returns (vec_a, vec_b, sim), vec_a < vec_b.
-    * The bucket equi-join keeps this a hash shuffle, not O(n²). */
-  def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int, dim: Int): DataFrame = {
-    val bucketed = withNorm(emb)
-      .withColumn("bucket", lshBucket(col("emb"), bits, dim))
+  /** Embedding-cosine near-duplicate pairs: candidates share a bucket
+    * in ANY of `tables` independent `bits`-bit LSH tables
+    * (OR-amplification), verified by cosine >= threshold. Returns
+    * (vec_a, vec_b, sim), vec_a < vec_b. Each table's candidate join is
+    * a hash shuffle; `bits` bounds bucket occupancy, `tables` buys
+    * recall. */
+  def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int, dim: Int,
+      tables: Int = 2): DataFrame = {
+    val bucketed = withNorm(emb).select(col("vec_id"), col("emb"), col("nrm"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("table_id"),
+          lshBucket(col("emb"), bits, dim, planeOffset = t * bits).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        simExpr(col("a.emb"), col("b.emb"), col("a.nrm"), col("b.nrm")).as("sim"))
+    // distinct BEFORE scoring: a pair colliding in several tables is
+    // scored once, and the (tiny) candidate id-set dedups cheaply
+    val cand = a.join(b,
+        col("a.table_id") === col("b.table_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val sides = withNorm(emb)
+    cand.join(sides.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(sides.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        simExpr(col("x.emb"), col("y.emb"), col("x.nrm"), col("y.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Measured recall@k of the LSH path against the exact baseline:
+    * |topk_lsh ∩ topk_exact| / k averaged over anchors — the number
+    * that justifies shipping the approximation. One row:
+    * (n_anchors, avg_recall). */
+  def recallAtK(emb: DataFrame, anchorPred: Column, k: Int, bits: Int, dim: Int,
+      probe: Int = 1, tables: Int = 1): DataFrame = {
+    val exact = bruteForceTopK(emb, anchorPred, k)
+      .select(col("anchor_id"), col("neighbor_id"))
+    val approx = lshTopK(emb, anchorPred, k, bits, dim, probe, tables)
+      .select(col("anchor_id"), col("neighbor_id"))
+    exact.join(approx, Seq("anchor_id", "neighbor_id"), "left_semi")
+      .groupBy(col("anchor_id")).agg(count(lit(1)).as("hits"))
+      // right-pad with 0-hit anchors via a left join from the exact side
+      .join(exact.select(col("anchor_id")).distinct(), Seq("anchor_id"), "right_outer")
+      .select(col("anchor_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_anchors"),
+        round(avg(col("hits").cast("double") / k), 6).as("avg_recall"))
   }
 }

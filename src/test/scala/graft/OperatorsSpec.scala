@@ -96,6 +96,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banded near-dup: identical docs pair at hamming 0; bound respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely unrelated set of words without overlap whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(df, bands = 4, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+    assert(pairs.forall(r => r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("ann recall: measured recall in [0,1]; more tables/probes never lowers it") {
+    val low = Similarity.recallAtK(emb, col("vec_id") % 100 === 0, k = 5, bits = 8, dim = 64,
+      probe = 0, tables = 1).head()
+    val high = Similarity.recallAtK(emb, col("vec_id") % 100 === 0, k = 5, bits = 8, dim = 64,
+      probe = 2, tables = 4).head()
+    val (rLow, rHigh) = (low.getDouble(1), high.getDouble(1))
+    assert(rLow >= 0.0 && rHigh <= 1.0)
+    assert(rHigh >= rLow) // candidate sets are supersets -> recall monotone
+  }
+
   test("langId predicts the marker language; ties go to the alphabetical first") {
     import spark.implicits._
     val df = Seq(
