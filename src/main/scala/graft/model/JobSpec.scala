@@ -58,7 +58,13 @@ final case class JobSpec(
       * `CommonRdbmsWriter.java:88-166` — e.g. register views, swap a
       * shadow table). */
     preSql: Seq[String] = Nil,
-    postSql: Seq[String] = Nil) {
+    postSql: Seq[String] = Nil,
+    /** JDBC connector surface (`reader.jdbc` / `writer.jdbc` blocks) —
+      * the CommonRdbmsReader/Writer analog, mapped onto Spark's jdbc
+      * source. Mutually exclusive with the change-log reader path; see
+      * [[graft.sources.Jdbc]]. */
+    jdbcReader: Option[graft.sources.Jdbc.JdbcReaderSpec] = None,
+    jdbcWriter: Option[graft.sources.Jdbc.JdbcWriterSpec] = None) {
 
   /** Compose the transformer chain into one DataFrame function (the
     * analog of BufferedRecordTransformerExchanger's per-record chain). */
@@ -119,10 +125,45 @@ object JobSpec {
       case _ => Nil
     }
 
+    val jdbcReader = (j \ "reader" \ "jdbc") match {
+      case o: JObject => Some(graft.sources.Jdbc.JdbcReaderSpec(
+        url = str(o \ "jdbcUrl"),
+        table = (o \ "table") match { case JString(s) => Some(s); case _ => None },
+        querySql = (o \ "querySql") match { case JString(s) => Some(s); case _ => None },
+        user = (o \ "username") match { case JString(s) => Some(s); case _ => None },
+        password = (o \ "password") match { case JString(s) => Some(s); case _ => None },
+        driver = (o \ "driver") match { case JString(s) => Some(s); case _ => None },
+        columns = (o \ "column") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }; case _ => Nil
+        },
+        where = (o \ "where") match { case JString(s) => Some(s); case _ => None },
+        splitPk = (o \ "splitPk") match { case JString(s) => Some(s); case _ => None },
+        lowerBound = (o \ "lowerBound") match { case JNothing => None; case v => Some(v.extract[Long]) },
+        upperBound = (o \ "upperBound") match { case JNothing => None; case v => Some(v.extract[Long]) },
+        numPartitions = num(o \ "numPartitions", 4).toInt,
+        fetchSize = num(o \ "fetchSize", 1024).toInt))
+      case _ => None
+    }
+    val jdbcWriter = (j \ "writer" \ "jdbc") match {
+      case o: JObject => Some(graft.sources.Jdbc.JdbcWriterSpec(
+        url = str(o \ "jdbcUrl"),
+        table = str(o \ "table"),
+        user = (o \ "username") match { case JString(s) => Some(s); case _ => None },
+        password = (o \ "password") match { case JString(s) => Some(s); case _ => None },
+        driver = (o \ "driver") match { case JString(s) => Some(s); case _ => None },
+        writeMode = str(o \ "writeMode", "insert"),
+        batchSize = num(o \ "batchSize", 2048).toInt))
+      case _ => None
+    }
+
     JobSpec(
-      logDir = str(j \ "reader" \ "logDir"),
-      tableDir = str(j \ "writer" \ "tableDir"),
-      checkpointDir = str(j \ "writer" \ "checkpointDir"),
+      logDir = str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
+        throw new IllegalArgumentException("reader needs logDir or jdbc block")),
+      tableDir = str(j \ "writer" \ "tableDir", if (jdbcWriter.isDefined) "" else
+        throw new IllegalArgumentException("writer needs tableDir or jdbc block")),
+      checkpointDir = str(j \ "writer" \ "checkpointDir",
+        if (jdbcReader.isDefined || jdbcWriter.isDefined) ""
+        else throw new IllegalArgumentException("writer.checkpointDir required for replay jobs")),
       nBuckets = num(j \ "writer" \ "nBuckets", 64).toInt,
       saltBuckets = num(j \ "writer" \ "saltBuckets", 1).toInt,
       maxFilesPerTrigger = num(j \ "speed" \ "maxFilesPerTrigger", Int.MaxValue).toInt,
@@ -139,7 +180,9 @@ object JobSpec {
       maxDeltaChain = num(j \ "writer" \ "maxDeltaChain",
         graft.apply.BatchApply.DefaultMaxDeltaChain.toLong).toInt,
       preSql = sqlList(j \ "writer" \ "preSql"),
-      postSql = sqlList(j \ "writer" \ "postSql"))
+      postSql = sqlList(j \ "writer" \ "postSql"),
+      jdbcReader = jdbcReader,
+      jdbcWriter = jdbcWriter)
   }
 
   private def sqlList(v: JValue): Seq[String] = v match {

@@ -142,6 +142,55 @@ class JobSpecSuite extends AnyFunSuite {
     assert(spark.read.parquet(q).count() == 2)
   }
 
+  test("jdbc reader/writer blocks parse to the Spark jdbc option surface") {
+    val spec = JobSpec.parse(
+      """{"reader": {"jdbc": {
+        |    "jdbcUrl": "jdbc:mysql://db:3306/corpus", "table": "docs",
+        |    "username": "u", "password": "p", "driver": "com.mysql.cj.jdbc.Driver",
+        |    "column": ["doc_id", "tokens", "n_tok"], "where": "n_tok > 0",
+        |    "splitPk": "doc_pk", "lowerBound": 0, "upperBound": 1000000,
+        |    "numPartitions": 8, "fetchSize": 4096}},
+        | "writer": {"jdbc": {
+        |    "jdbcUrl": "jdbc:mysql://db:3306/sink", "table": "docs_out",
+        |    "writeMode": "replace", "batchSize": 512}}}""".stripMargin)
+    val r = spec.jdbcReader.get
+    assert(r.options == Map(
+      "url" -> "jdbc:mysql://db:3306/corpus", "dbtable" -> "docs",
+      "user" -> "u", "password" -> "p", "driver" -> "com.mysql.cj.jdbc.Driver",
+      "partitionColumn" -> "doc_pk", "lowerBound" -> "0", "upperBound" -> "1000000",
+      "numPartitions" -> "8", "fetchsize" -> "4096"))
+    val w = spec.jdbcWriter.get
+    assert(w.options == Map(
+      "url" -> "jdbc:mysql://db:3306/sink", "dbtable" -> "docs_out",
+      "batchsize" -> "512", "truncate" -> "true"))
+    assert(w.saveMode == org.apache.spark.sql.SaveMode.Overwrite)
+    // querySql mode: no dbtable, no split options, splitPk rejected
+    val q = JobSpec.parse(
+      """{"reader": {"jdbc": {"jdbcUrl": "jdbc:pg://x", "querySql": "SELECT 1"}},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c"}}""".stripMargin)
+    assert(q.jdbcReader.get.options.get("query").contains("SELECT 1"))
+    assert(!q.jdbcReader.get.options.contains("dbtable"))
+    intercept[IllegalArgumentException] {
+      graft.sources.Jdbc.JdbcReaderSpec("u", Some("t"), Some("q"), None, None, None,
+        Nil, None, None, None, None, 4, 1024)
+    }
+    // keyed upsert is the MERGE path, not a jdbc writeMode
+    intercept[IllegalArgumentException] {
+      graft.sources.Jdbc.JdbcWriterSpec("u", "t", None, None, None, "update", 512)
+    }
+  }
+
+  test("jdbc split predicates: even ranges + null slice cover the domain disjointly") {
+    import graft.sources.Jdbc
+    val preds = Jdbc.splitPredicates("pk", 0, 99, 4)
+    assert(preds.size == 5 && preds.last == "pk IS NULL")
+    assert(preds.head == "pk >= 0 AND pk < 25")
+    assert(preds(3) == "pk >= 75 AND pk <= 99")
+    // quantile-split path: explicit bounds (e.g. from Split.exactNtile)
+    val qp = Jdbc.boundsPredicates("pk", Seq(0L, 10L, 100L, 1000L), includeNullSlice = false)
+    assert(qp == Seq("pk >= 0 AND pk < 10", "pk >= 10 AND pk < 100", "pk >= 100 AND pk <= 1000"))
+  }
+
   test("job spec end-to-end: parse JSON, transformer chain, replay with metrics") {
     val dir = tmpDir("graft-job")
     val cfg = GenConfig(nEvents = 8000, nDocs = 1500, nShards = 4, nSegments = 4,

@@ -74,6 +74,31 @@ class RobustnessSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("compressed CSV reads (gzip + bzip2) match the uncompressed source") {
+    // UnstructuredStorageReaderUtil.java:117-160 compression support:
+    // Spark's CSV reader decodes by file extension — same aggregate must
+    // come back from every codec
+    val dir = tmpDir("graft-csv-codec")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("su"), max("event_id").as("mx"))
+        .orderBy("event_type").collect()
+    val expected = agg(events)
+    for (codec <- Seq("gzip", "bzip2")) {
+      events.write.mode("overwrite").option("header", "true")
+        .option("compression", codec).csv(s"$dir/$codec")
+      val fs = new java.io.File(s"$dir/$codec").listFiles()
+      val ext = if (codec == "gzip") ".gz" else ".bz2"
+      assert(fs.exists(_.getName.endsWith(s".csv$ext")), s"no $ext files written")
+      val back = spark.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(s"$dir/$codec")
+      assert(agg(back).sameElements(expected), s"codec $codec round-trip mismatch")
+    }
+  }
+
   test("sharded-table expansion (TableExpandUtil parity)") {
     assert(TableExpand.expand("db.tab[0-3]_x") ==
       Seq("db.tab0_x", "db.tab1_x", "db.tab2_x", "db.tab3_x"))
