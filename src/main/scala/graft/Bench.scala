@@ -24,9 +24,12 @@ import org.apache.spark.sql.SparkSession
  *
  *     Measurement methodology: EACH level runs in a FRESH forked JVM
  *     (same classpath/JVM flags as this one) that does its own untimed
- *     1M-event JIT warmup replay, then reports the best of two timed
- *     replays. In-process ladders are off by up to 2x from accumulated
- *     GC debt and cold-C2 compilation of the codegen'd merge pipeline.
+ *     1M-event JIT warmup replay, then reports THREE timed replays.
+ *     Per-rung throughput is the best attempt; the scaling-efficiency
+ *     criterion is computed from rung MEDIANS (independent minima make
+ *     the ratio noisier than either rung). In-process ladders are off
+ *     by up to 2x from accumulated GC debt and cold-C2 compilation of
+ *     the codegen'd merge pipeline.
  *
  *     A second, smaller replay measures hot-key skew handling (axis B):
  *     the same Zipf-skewed log applied with and without two-phase
@@ -77,10 +80,10 @@ object Bench {
       s"$work/warmlog", s"$work/warm-table-$cpus", s"$work/warm-cp-$cpus",
       nBuckets = 64, maxFilesPerTrigger = Int.MaxValue)
     // best-of-N: the sandbox VM sees sporadic hypervisor CPU steal
-    // (~2% average, bursty), which best-of-N absorbs. The 1-core rung
-    // gets 2 attempts (longest runs average steal out; bounds total
-    // bench runtime)
-    val nAttempts = if (cpus == 1) 2 else 3
+    // (~2% average, bursty), which best-of-N absorbs. Every rung gets
+    // the same 3 attempts so no rung is measured with less noise
+    // rejection than another (the N->4N criterion compares rungs).
+    val nAttempts = 3
     val attempts = (1 to nAttempts).map { attempt =>
       System.gc()
       val s = session(cpus, s"graft-bench-replay-$cpus-$attempt", shufflePartitions = 64)
@@ -90,14 +93,13 @@ object Bench {
       System.err.println(f"[bench-child] local[$cpus] attempt $attempt: $sec%.3f s")
       sec
     }
-    val best = attempts.min
-    println(s"BENCH_CHILD_SEC=${fmt(best)}")
+    println(s"BENCH_CHILD_SECS=${attempts.map(fmt).mkString(",")}")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 
   /** Fork a fresh JVM running [[childReplay]] with this JVM's classpath
-    * and flags; parse the reported seconds. */
-  private def forkReplay(cpus: Int, work: String): Double = {
+    * and flags; parse the per-attempt seconds. */
+  private def forkReplay(cpus: Int, work: String): Seq[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -111,12 +113,18 @@ object Bench {
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     val code = p.waitFor()
     out.linesIterator.collectFirst {
-      case l if l.startsWith("BENCH_CHILD_SEC=") => l.stripPrefix("BENCH_CHILD_SEC=").toDouble
+      case l if l.startsWith("BENCH_CHILD_SECS=") =>
+        l.stripPrefix("BENCH_CHILD_SECS=").split(",").toSeq.map(_.toDouble)
     }.getOrElse {
       System.err.println(s"[bench] child (cpus=$cpus) exit=$code output tail:\n" +
         out.linesIterator.toSeq.takeRight(20).mkString("\n"))
       throw new IllegalStateException(s"bench child for local[$cpus] produced no result")
     }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,7 +184,7 @@ object Bench {
       // forked measurement with in-process fallback: a fork failure
       // (exotic classpath/launcher) must degrade to noisier numbers,
       // never to a missing BENCH line
-      def measure(c: Int): Double =
+      def measure(c: Int): Seq[Double] =
         try forkReplay(c, work)
         catch {
           case e: Exception =>
@@ -187,18 +195,25 @@ object Bench {
               time(Replay.replay(
                 s, s"$work/log", s"$work/table-ip-$c-$attempt", s"$work/cp-ip-$c-$attempt",
                 nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
-            }.min
+            }
         }
-      val sec1 = measure(1)
-      val sec4 = measure(4)
-      val sec8 = measure(8)
-      val sec32 = measure(32)
+      val att1 = measure(1)
+      val att4 = measure(4)
+      val att8 = measure(8)
+      val att32 = measure(32)
+      // headline throughput per rung: best attempt (least steal noise).
+      // Scaling efficiency: MEDIAN-of-attempts ratio — taking each
+      // rung's independent minimum makes the RATIO noisier than either
+      // number (a single lucky fast run at one rung skews it), while the
+      // median is robust on both sides.
+      val (sec1, sec4, sec8, sec32) = (att1.min, att4.min, att8.min, att32.min)
       val tput1 = benchEvents / sec1
       val tput4 = benchEvents / sec4
       val tput8 = benchEvents / sec8
       val tput32 = benchEvents / sec32
-      val effN4N = tput4 / (4.0 * tput1)
-      val eff832 = tput32 / (4.0 * tput8)
+      val effN4N = median(att1) / (4.0 * median(att4))
+      val eff832 = median(att8) / (4.0 * median(att32))
+      val effN4NBest = sec1 / (4.0 * sec4)
 
       // skew probe: Zipf-hot log, salted vs unsalted canonicalize
       val skewCfg = GenConfig(
@@ -216,20 +231,31 @@ object Bench {
       val skewSalted = applyOnce(8, "salted")
       skewLog.unpersist()
 
+      def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
       cdcJson =
         s"""{"events":$benchEvents,"avg_tokens":${cfg.avgTokens},"shards":${cfg.nShards},""" +
         s""""replay_local1_sec":${fmt(sec1)},"replay_local4_sec":${fmt(sec4)},""" +
         s""""replay_local8_sec":${fmt(sec8)},"replay_local32_sec":${fmt(sec32)},""" +
+        s""""attempts_local1":${arr(att1)},"attempts_local4":${arr(att4)},""" +
+        s""""attempts_local8":${arr(att8)},"attempts_local32":${arr(att32)},""" +
         s""""events_per_sec_local1":${fmt(tput1)},"events_per_sec_local4":${fmt(tput4)},""" +
         s""""events_per_sec_local8":${fmt(tput8)},"events_per_sec_local32":${fmt(tput32)},""" +
-        s""""scaling_efficiency_N_to_4N":${fmt(effN4N)},"scaling_efficiency_8_to_32":${fmt(eff832)},""" +
+        s""""scaling_efficiency_N_to_4N":${fmt(effN4N)},"scaling_efficiency_N_to_4N_best":${fmt(effN4NBest)},""" +
+        s""""scaling_efficiency_8_to_32":${fmt(eff832)},""" +
         s""""skew_events":${skewCfg.nEvents},"skew_hot_per_mille":${skewCfg.hotPerMille},""" +
         s""""skew_unsalted_sec":${fmt(skewUnsalted)},"skew_salted_sec":${fmt(skewSalted)}}"""
     }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${fmt(totalQuerySec)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(totalQuerySec)},"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}"""
+    println(json)
+    // the line above may be wrapped by sbt's logger ("[info] ...") —
+    // also leave the bare JSON where the driver can read it unprefixed
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+      json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] bench_out write failed: $e") }
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

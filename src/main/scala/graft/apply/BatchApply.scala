@@ -40,23 +40,36 @@ import org.apache.spark.sql.types._
 object BatchApply {
 
   /** One row per doc_id: the winning (max-lsn) change of the batch.
-    * Duplicate lsns (redelivery) collapse for free: identical payloads. */
+    * Duplicate lsns (redelivery) collapse for free: identical payloads.
+    *
+    * The same single shuffle ALSO carries the batch's offset statistics
+    * (`n_events`, `min_lsn`, `has_lang` per key, plus the key's `shard`)
+    * so [[apply]] derives lineage/watermarks/evolution from the
+    * canonical rows instead of a second full scan of the raw batch.
+    * Keys are shard-sticky (one binlog shard owns a key — the model's
+    * contract, same as the watermark fencing), so per-shard stats
+    * aggregate exactly from per-key stats. */
   def canonicalize(events: DataFrame, saltBuckets: Int = 1): DataFrame = {
     val payload = struct(
       col("lsn"), col("op"), col("tokens"), col("n_tok"), col("source"), col("lang"), col("shard"))
     val pre =
       if (saltBuckets <= 1) events
+        .groupBy(col("doc_id"))
+        .agg(max_by(payload, col("lsn")).as("w"), count(lit(1)).as("n_events"),
+          min(col("lsn")).as("min_lsn"), max(col("lang").isNotNull.cast("int")).as("has_lang"))
       else events
+        // two-phase for hot keys: salt pre-aggregation, then merge the
+        // per-salt winners AND their partial stats
         .groupBy(col("doc_id"), pmod(col("lsn"), lit(saltBuckets.toLong)).as("_salt"))
-        .agg(max_by(payload, col("lsn")).as("w"))
-        .select(col("doc_id"), col("w.lsn").as("lsn"), col("w.op").as("op"),
-          col("w.tokens").as("tokens"), col("w.n_tok").as("n_tok"),
-          col("w.source").as("source"), col("w.lang").as("lang"), col("w.shard").as("shard"))
-    pre.groupBy(col("doc_id"))
-      .agg(max_by(payload, col("lsn")).as("w"))
-      .select(col("doc_id"), col("w.lsn").as("lsn"), col("w.op").as("op"),
-        col("w.tokens").as("tokens"), col("w.n_tok").as("n_tok"),
-        col("w.source").as("source"), col("w.lang").as("lang"))
+        .agg(max_by(payload, col("lsn")).as("w"), count(lit(1)).as("n_events"),
+          min(col("lsn")).as("min_lsn"), max(col("lang").isNotNull.cast("int")).as("has_lang"))
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("w"), col("w.lsn")).as("w"), sum(col("n_events")).as("n_events"),
+          min(col("min_lsn")).as("min_lsn"), max(col("has_lang")).as("has_lang"))
+    pre.select(col("doc_id"), col("w.lsn").as("lsn"), col("w.op").as("op"),
+      col("w.tokens").as("tokens"), col("w.n_tok").as("n_tok"),
+      col("w.source").as("source"), col("w.lang").as("lang"), col("w.shard").as("shard"),
+      col("n_events").cast("long").as("n_events"), col("min_lsn"), col("has_lang"))
   }
 
   /** The evolved user schema this engine knows how to advance to (additive:
@@ -97,20 +110,6 @@ object BatchApply {
     // ---- exactly-once fence: retry of an already-committed batch
     if (batchId >= 0 && batchId <= snap.batchId) return snap
 
-    // ---- one pass of per-shard stats: emptiness, offset ranges
-    //      (lineage), watermark advance, and evolution detection
-    val stats = batch.groupBy(col("shard")).agg(
-      min(col("lsn")).as("minLsn"), max(col("lsn")).as("maxLsn"),
-      count(lit(1)).as("rows"), max(col("lang").isNotNull.cast("int")).as("hasLang")
-    ).collect()
-    if (stats.isEmpty) return snap
-    val needsEvolve = stats.exists(_.getAs[Int]("hasLang") > 0) &&
-      !snap.schema.fieldNames.contains("lang")
-    if (needsEvolve) snap = table.evolveSchema(evolvedSchema(snap.schema))
-    val lineage = stats.map(r => LakeTable.LineageEntry(
-      batchId, r.getAs[Int]("shard"), r.getAs[Long]("minLsn"), r.getAs[Long]("maxLsn"), r.getAs[Long]("rows"))).toSeq
-    val watermarks = stats.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("maxLsn")).toMap
-
     // ---- optional input fence: drop events at-or-below the shard
     //      watermark. ONLY sound when micro-batches are delivered in
     //      per-shard lsn order (e.g. an ordered queue source). The file
@@ -126,6 +125,22 @@ object BatchApply {
       .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // ---- per-shard stats (lineage offset ranges, watermark advance,
+      //      evolution detection) from the CANONICAL rows — the
+      //      canonicalize shuffle already aggregated per-key raw-event
+      //      stats, so the raw batch is scanned exactly once per batch
+      val stats = canonical.groupBy(col("shard")).agg(
+        min(col("min_lsn")).as("minLsn"), max(col("lsn")).as("maxLsn"),
+        sum(col("n_events")).as("rows"), max(col("has_lang")).as("hasLang")
+      ).collect()
+      if (stats.isEmpty) return snap
+      val needsEvolve = stats.exists(_.getAs[Int]("hasLang") > 0) &&
+        !snap.schema.fieldNames.contains("lang")
+      if (needsEvolve) snap = table.evolveSchema(evolvedSchema(snap.schema))
+      val lineage = stats.map(r => LakeTable.LineageEntry(
+        batchId, r.getAs[Int]("shard"), r.getAs[Long]("minLsn"), r.getAs[Long]("maxLsn"), r.getAs[Long]("rows"))).toSeq
+      val watermarks = stats.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("maxLsn")).toMap
+
       // ---- manifest-level pruning + per-bucket change counts in one job
       val changedPerBucket = canonical.groupBy(col("bucket")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

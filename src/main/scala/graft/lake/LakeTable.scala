@@ -163,6 +163,30 @@ object LakeTable {
 
   def load(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
 
+  /** (rows, min `lsnCol`, max `lsnCol`) of one parquet file from its
+    * footer's column-chunk statistics — static so executor closures
+    * don't capture a LakeTable/SparkSession. */
+  private[lake] def readFooterStats(conf: org.apache.hadoop.conf.Configuration,
+      path: String, lsnCol: String): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val lsnStats = blocks.flatMap { blk =>
+        blk.getColumns.asScala
+          .find(_.getPath.toDotString == lsnCol)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty)
+      }
+      require(lsnStats.nonEmpty, s"no $lsnCol statistics in footer of $path")
+      val mins = lsnStats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+      val maxs = lsnStats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+      (rows, mins.min, maxs.max)
+    } finally reader.close()
+  }
+
   def exists(spark: SparkSession, root: String): Boolean = {
     val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     fs.exists(new Path(root, "snapshots")) &&
@@ -283,64 +307,66 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * under data/ (typically one per touched bucket), returning manifest
     * entries. Not yet visible — call [[commit]] to publish.
     *
+    * Files land in their FINAL location (a unique per-write commit
+    * directory): visibility is governed solely by the snapshot manifest,
+    * so no per-file rename pass exists at all — the reference's
+    * temp+rename 2PC (`HdfsWriter.java:193-324`) collapses to the single
+    * snapshot-descriptor rename, and a crash leaves only unreferenced
+    * files that [[vacuum]] removes. Per-file (rows, lsn min/max) stats
+    * come from parquet FOOTERS read ON THE EXECUTORS — one distributed
+    * metadata job, never a serial driver loop over thousands of files
+    * (the Iceberg task-side DataFile-collection pattern).
+    *
     * `repartitionByBucket = false` skips the write-side shuffle: callers
     * use it when the incoming partitioning already confines each bucket
     * to one task (the MERGE join's hash(doc_id) exchange with
     * numPartitions == nBuckets — see [[LakeTable.bucketExpr]]). Stats
-    * are collected per staged FILE, so multiple files per bucket (AQE
-    * skew splits, unaligned callers) stay correct. */
+    * are collected per FILE, so multiple files per bucket (AQE skew
+    * splits, unaligned callers) stay correct. */
   def writeDataFiles(df: DataFrame, schemaId: Int, repartitionByBucket: Boolean = true): Seq[DataFile] = {
     val s = current
-    val tmpName = s"stage-${UUID.randomUUID()}"
-    val stage = new Path(root, tmpName)
+    val commitDir = s"data/c-${UUID.randomUUID()}"
+    val out = new Path(root, commitDir)
     val phys = s.physicalSchema(schemaId)
     val cols = phys.fieldNames.map(col).toIndexedSeq :+ col("bucket")
     val projected = df.select(cols: _*)
     val arranged = if (repartitionByBucket) projected.repartition(col("bucket")) else projected
     arranged
       .sortWithinPartitions(col("bucket"), col("doc_id"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(stage.toString)
+      .write.partitionBy("bucket").mode("overwrite").parquet(out.toString)
 
-    // per-file stats from parquet FOOTERS (metadata only, driver-side,
-    // no executor job): row counts + _lsn min/max come from the column
-    // chunk statistics the writer already recorded — the Iceberg-style
-    // alternative to re-scanning everything just written
-    val entries = scala.collection.mutable.ArrayBuffer[DataFile]()
-    fs.listStatus(stage).filter(_.isDirectory).foreach { d =>
+    // driver does only the (2-level) listing; footer reads fan out
+    val staged: Seq[(String, Int)] = fs.listStatus(out).filter(_.isDirectory).flatMap { d =>
       val b = d.getPath.getName.stripPrefix("bucket=").toInt
-      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
-        val (rows, minL, maxL) = footerStats(f.getPath)
-        val name = s"bucket=$b/${UUID.randomUUID()}.parquet"
-        val dst = new Path(root, s"data/$name")
-        fs.mkdirs(dst.getParent)
-        fs.rename(f.getPath, dst)
-        entries += DataFile(s"data/$name", b, rows, minL, maxL, schemaId)
-      }
+      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (s"$commitDir/bucket=$b/${f.getPath.getName}", b))
+    }.toIndexedSeq
+    if (staged.isEmpty) { fs.delete(out, true); return Nil }
+    footerStatsDistributed(staged).map { case (rel, b, rows, minL, maxL) =>
+      DataFile(rel, b, rows, minL, maxL, schemaId)
     }
-    fs.delete(stage, true)
-    entries.toSeq
   }
 
-  /** (rows, min _lsn, max _lsn) of one parquet file, from its footer. */
-  private def footerStats(p: Path): (Long, Long, Long) = {
-    import scala.jdk.CollectionConverters._
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(p, spark.sparkContext.hadoopConfiguration)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala
-      val rows = blocks.map(_.getRowCount).sum
-      val lsnStats = blocks.flatMap { blk =>
-        blk.getColumns.asScala
-          .find(_.getPath.toDotString == LsnCol)
-          .map(_.getStatistics)
-          .filter(s => s != null && !s.isEmpty)
+  /** (path, bucket, rows, min _lsn, max _lsn) per file, footers opened on
+    * executors (hadoop conf shipped as Writable bytes — footer reads are
+    * read-only, so task retries are trivially idempotent). */
+  private def footerStatsDistributed(files: Seq[(String, Int)]): Seq[(String, Int, Long, Long, Long)] = {
+    val confBytes = {
+      val baos = new java.io.ByteArrayOutputStream()
+      spark.sparkContext.hadoopConfiguration.write(new java.io.DataOutputStream(baos))
+      baos.toByteArray
+    }
+    val rootStr = root
+    val lsnCol = LsnCol
+    val slices = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(new java.io.DataInputStream(new java.io.ByteArrayInputStream(confBytes)))
+      it.map { case (rel, b) =>
+        val (rows, minL, maxL) = LakeTable.readFooterStats(conf, s"$rootStr/$rel", lsnCol)
+        (rel, b, rows, minL, maxL)
       }
-      require(lsnStats.nonEmpty, s"no $LsnCol statistics in footer of $p")
-      val mins = lsnStats.map(_.genericGetMin.asInstanceOf[Number].longValue)
-      val maxs = lsnStats.map(_.genericGetMax.asInstanceOf[Number].longValue)
-      (rows, mins.min, maxs.max)
-    } finally reader.close()
+    }.collect().toIndexedSeq
   }
 
   /** Publish a new snapshot: replace all files of `replacedBuckets` with
@@ -426,15 +452,24 @@ class LakeTable(val spark: SparkSession, val root: String) {
     commit(files, target, s.batchId, Map.empty, Nil, s.version)
   }
 
-  /** Delete data files not referenced by the latest snapshot (crash debris,
-    * superseded COW files). */
+  /** Delete data files not referenced by the latest snapshot (crash
+    * debris, superseded COW files), then prune emptied commit/bucket
+    * directories. */
   def vacuum(): Unit = {
     val s = current
     val referenced = s.files.map(f => new Path(root, f.path).toUri.getPath).toSet
     val dataDir = new Path(root, "data")
-    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
-      if (st.isDirectory) walk(st.getPath)
-      else if (!referenced.contains(st.getPath.toUri.getPath)) fs.delete(st.getPath, false)
+    // post-order: returns true when `p` still holds anything after cleanup
+    def walk(p: Path): Boolean = {
+      var occupied = false
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (walk(st.getPath)) occupied = true
+          else fs.delete(st.getPath, false)
+        } else if (!referenced.contains(st.getPath.toUri.getPath)) fs.delete(st.getPath, false)
+        else occupied = true
+      }
+      occupied
     }
     if (fs.exists(dataDir)) walk(dataDir)
   }
