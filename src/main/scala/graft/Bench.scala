@@ -76,9 +76,16 @@ object Bench {
     * job's partitioning — and slot-count-sized partitions at local[2]
     * would spill (4M-row aggregation partitions) and measure the spill. */
   private def childReplay(cpus: Int, work: String): Unit = {
+    // every attempt's table+checkpoint (~1.2 GB at 8M events) is deleted
+    // right after timing: the workdir lives in tmpfs, and letting 4
+    // rungs x 3 attempts accumulate steals >10 GB of RAM from the later
+    // rungs (measured: the 32-core rung degraded 2x under it)
+    def cleanup(paths: String*): Unit = paths.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     Replay.replay(session(cpus, s"graft-bench-warmup-$cpus", shufflePartitions = 64),
       s"$work/warmlog", s"$work/warm-table-$cpus", s"$work/warm-cp-$cpus",
       nBuckets = 64, maxFilesPerTrigger = Int.MaxValue)
+    cleanup(s"$work/warm-table-$cpus", s"$work/warm-cp-$cpus")
     // best-of-N: the sandbox VM sees sporadic hypervisor CPU steal
     // (~2% average, bursty), which best-of-N absorbs. Every rung gets
     // the same 3 attempts so no rung is measured with less noise
@@ -90,6 +97,7 @@ object Bench {
       val sec = time(Replay.replay(
         s, s"$work/log", s"$work/table-$cpus-$attempt", s"$work/cp-$cpus-$attempt",
         nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
+      cleanup(s"$work/table-$cpus-$attempt", s"$work/cp-$cpus-$attempt")
       System.err.println(f"[bench-child] local[$cpus] attempt $attempt: $sec%.3f s")
       sec
     }
@@ -192,9 +200,12 @@ object Bench {
             (1 to 2).map { attempt =>
               System.gc()
               val s = session(c, s"graft-bench-inproc-$c-$attempt", shufflePartitions = 64)
-              time(Replay.replay(
+              val sec = time(Replay.replay(
                 s, s"$work/log", s"$work/table-ip-$c-$attempt", s"$work/cp-ip-$c-$attempt",
                 nBuckets = 64, maxFilesPerTrigger = Int.MaxValue))
+              Seq(s"$work/table-ip-$c-$attempt", s"$work/cp-ip-$c-$attempt").foreach(p =>
+                org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+              sec
             }
         }
       val att1 = measure(1)

@@ -371,10 +371,14 @@ object SparkEntry {
          |  SELECT doc_id, ${graft.operators.Dedup.shingleHashListSql("grams")} AS hs FROM sh),
          |sig AS (
          |  SELECT doc_id, ${graft.operators.Dedup.minhashSigSql(12)} AS sig FROM hsrc),
-         |banded AS (
+         |banded0 AS (
          |  SELECT doc_id, b.band_idx,
          |    md5(array_to_string(list_slice(sig, band_idx*3 + 1, band_idx*3 + 3), '|')) AS band_key
          |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b),
+         |banded AS (
+         |  SELECT doc_id, band_idx, band_key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n FROM banded0)
+         |  WHERE bucket_n <= 1000),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM banded a JOIN banded b2

@@ -379,14 +379,18 @@ class LakeTable(val spark: SparkSession, val root: String) {
       batchId: Long,
       newWatermarks: Map[Int, Long],
       lineage: Seq[LineageEntry],
-      expectedVersion: Long): Snapshot = {
+      expectedVersion: Long,
+      newNBuckets: Option[Int] = None): Snapshot = {
     val s = snapshotAt(expectedVersion)
     if (currentVersion != expectedVersion)
       throw new IllegalStateException(s"concurrent commit: expected v$expectedVersion, found v$currentVersion")
     val kept = s.files.filterNot(f => replacedBuckets.contains(f.bucket))
+    require(newNBuckets.isEmpty || kept.isEmpty,
+      "bucket-count change requires replacing every existing file (full rewrite)")
     val next = s.copy(
       version = s.version + 1,
       parent = s.version,
+      nBuckets = newNBuckets.getOrElse(s.nBuckets),
       files = kept ++ newFiles,
       batchId = batchId,
       watermarks = s.watermarks ++ newWatermarks.map { case (k, v) =>
@@ -396,6 +400,30 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (!writeSnapshot(next))
       throw new IllegalStateException(s"commit race on v${next.version}")
     next
+  }
+
+  // --------------------------------------------------------- re-bucketing
+
+  /** Bucket-count evolution: rewrite every live row (tombstones kept —
+    * they still fence late lsns) into `newNBuckets` hash buckets and
+    * commit a snapshot carrying the new count. This is the growth path
+    * when a table has outgrown its bucket count (per-bucket size is the
+    * COW/merge work unit): at 100 TB you'd run it as an offline
+    * maintenance job, like Iceberg's rewrite-with-new-partition-spec.
+    * One shuffle (repartition on the new bucket) + one write; the next
+    * micro-batch picks the new count up from the snapshot automatically
+    * (BatchApply reads `snap.nBuckets` per batch, and its write-side
+    * shuffle-elision check re-evaluates against the new count). */
+  def rebucket(newNBuckets: Int): Snapshot = {
+    require(newNBuckets >= 1, s"newNBuckets=$newNBuckets")
+    val s = current
+    if (newNBuckets == s.nBuckets) return s
+    // delta chains fold for free: readResolved collapses to one row/key
+    val rows = readResolved(None, Some(s))
+      .withColumn("bucket", bucketExpr(col("doc_id"), newNBuckets))
+    val files = writeDataFiles(rows, s.schemaId)
+    commit(files, s.files.map(_.bucket).toSet, s.batchId, Map.empty, Nil, s.version,
+      newNBuckets = Some(newNBuckets))
   }
 
   // ------------------------------------------------------ schema evolution

@@ -85,8 +85,18 @@ object Dedup {
     *
     * Plan shape: docs -> (band_idx, band_key) explode -> hash shuffle on
     * the band key -> per-bucket self-join -> distinct pairs -> exact
-    * Jaccard verify. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
-  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    * Jaccard verify. Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * `maxBucketSize` caps pathological mega-buckets (a band value shared
+    * by boilerplate-heavy corpora would otherwise go quadratic in one
+    * task): buckets above the cap are DROPPED before the self-join — the
+    * standard LSH treatment, since a bucket that large carries no
+    * near-dup signal (its members agree on one band by mass, not
+    * similarity) and any true pair inside it still has bands-1 other
+    * chances to collide. The count is a window over the band key (same
+    * shuffle key as the join — no extra exchange). */
+  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     // narrow band table: (doc_id, band_idx, band_key) only — never ship
@@ -112,6 +122,10 @@ object Dedup {
             md5(concat_ws("|", slice(col("sig"), b * r + 1, r))).as("band_key"))
         }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
       .localCheckpoint(true)
 
     val cand = banded.as("a").join(banded.as("b"),

@@ -90,6 +90,13 @@ object TextAnalysis {
        |    i -> ord(substr($e, i, 1))::BIGINT)),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** Production fingerprint: one codegen'd 64-bit xxhash of the whole
+    * text — order-sensitive like [[fingerprint]] but evaluated inside
+    * whole-stage codegen with zero per-character work. [[fingerprint]]'s
+    * per-character rolling hash exists ONLY because the DuckDB oracle
+    * must reproduce the value; at 100 TB you ship this one. */
+  def fingerprintFast(text: Column): Column = xxhash64(text)
+
   /** Quality scores: length, punctuation ratio, stopword ratio, mean
     * word length — the usual cheap pre-filters for training corpora. */
   def qualityScores(docs: DataFrame): DataFrame = {

@@ -135,6 +135,21 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq("ab cd", "cd ab").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
     assert(fps(0) != fps(1))
+    // production variant: same invariants, codegen'd single hash
+    val fast = df.select(TextAnalysis.fingerprintFast(col("text"))).as[Long].collect()
+    assert(fast(0) != fast(1))
+    assert(df.select(TextAnalysis.fingerprintFast(col("text"))).as[Long].collect()
+      .sameElements(fast)) // deterministic
+  }
+
+  test("minhash LSH mega-bucket cap drops oversized buckets, keeps results at normal sizes") {
+    // cap big enough: identical result as uncapped at this corpus size
+    val normal = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap of 1: EVERY bucket with a colliding pair exceeds it -> no pairs
+    val capped = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5,
+      maxBucketSize = 1).collect()
+    assert(capped.isEmpty && normal.nonEmpty)
   }
 
   test("multimodal: typed mapPartitions decode matches the SQL-expressible metadata") {

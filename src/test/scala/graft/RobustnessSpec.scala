@@ -74,6 +74,38 @@ class RobustnessSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("bucket-count evolution: rebucket preserves state; later batches use the new count") {
+    val dir = tmpDir("graft-rebucket")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 8)
+    val cfg = GenConfig(nEvents = 4000, nDocs = 800, nShards = 4)
+    val log = ChangeLogGen.events(spark, cfg)
+    BatchApply.apply(table, log, batchId = 0)
+    val before = table.read().orderBy("doc_id").collect()
+
+    val snap = table.rebucket(32)
+    assert(snap.nBuckets == 32 && table.current.nBuckets == 32)
+    assert(table.current.files.forall(f => f.bucket >= 0 && f.bucket < 32))
+    val after = table.read().orderBy("doc_id").collect()
+    assert(before.sameElements(after), "visible state changed across rebucket")
+
+    // a batch applied AFTER the rebucket must land in the new layout and
+    // stay oracle-correct over the whole log
+    val more = ChangeLogGen.events(spark, cfg.copy(nEvents = 6000), lo = 4000, hi = 6000)
+    BatchApply.apply(table, more, batchId = 1)
+    val full = ChangeLogGen.events(spark, cfg.copy(nEvents = 6000))
+    val mism = graft.verify.Oracle.diff(
+      graft.verify.Oracle.expectedState(spark, full), table.read())
+    assert(mism.isEmpty, mism.mkString("; "))
+    assert(table.current.files.forall(f => f.bucket >= 0 && f.bucket < 32))
+
+    // maintenance still works on the new layout
+    table.vacuum()
+    table.compact()
+    val mism2 = graft.verify.Oracle.diff(
+      graft.verify.Oracle.expectedState(spark, full), table.read())
+    assert(mism2.isEmpty, mism2.mkString("; "))
+  }
+
   test("compressed CSV reads (gzip + bzip2) match the uncompressed source") {
     // UnstructuredStorageReaderUtil.java:117-160 compression support:
     // Spark's CSV reader decodes by file extension — same aggregate must
