@@ -53,6 +53,12 @@ object Main {
 
     spec.postSql.foreach(spark.sql(_).collect()) // DataX postSql analog
 
+    // post-replay maintenance: rebucket folds deltas too, so compact
+    // after it is cheap; vacuum last removes everything superseded
+    if (spec.rebucketTo > 0) table.rebucket(spec.rebucketTo)
+    if (spec.compactAfter) table.compact()
+    if (spec.vacuumAfter) table.vacuum()
+
     metrics.report(spark, spec.tableDir, tag)
     val snap = table.current
     println(s"graft job done: ${metrics.toJson}")

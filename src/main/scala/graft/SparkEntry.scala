@@ -292,6 +292,13 @@ object SparkEntry {
       graft.operators.Dedup.simhashNearDup(
         t(s, dir, "documents"), bands = 4, maxHamming = 3)),
 
+    // IVF ANN: disjoint spherical cells + nProbe-best-cell search — the
+    // second approximate family next to the LSH path
+    "q35_ann_ivf" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5, cells = 16, dim = 64,
+        nProbe = 4)),
+
     // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
     // through the TransformerSpec machinery itself
     "q32_expr_transform" -> ((s, dir) => {
@@ -494,6 +501,10 @@ object SparkEntry {
 
     "q34_simhash_pairs" ->
       graft.operators.Dedup.simhashNearDupSql("documents", maxHamming = 3),
+
+    "q35_ann_ivf" ->
+      graft.operators.Similarity.ivfTopKSql(
+        "vec_id % 100 = 0", k = 5, cells = 16, dim = 64, nProbe = 4),
 
     "q24_multimodal_decode" -> graft.operators.Multimodal.decodedMetadataSql,
 

@@ -59,6 +59,13 @@ final case class JobSpec(
       * shadow table). */
     preSql: Seq[String] = Nil,
     postSql: Seq[String] = Nil,
+    /** Post-replay table maintenance (`maintenance` block): re-bucket to
+      * a new count (bucket-count evolution; -1 = off), fold deltas /
+      * purge tombstones, delete unreferenced files. Runs after postSql,
+      * in that order (rebucket already folds, so compact is then cheap). */
+    rebucketTo: Int = -1,
+    compactAfter: Boolean = false,
+    vacuumAfter: Boolean = false,
     /** JDBC connector surface (`reader.jdbc` / `writer.jdbc` blocks) —
       * the CommonRdbmsReader/Writer analog, mapped onto Spark's jdbc
       * source. Mutually exclusive with the change-log reader path; see
@@ -181,6 +188,9 @@ object JobSpec {
         graft.apply.BatchApply.DefaultMaxDeltaChain.toLong).toInt,
       preSql = sqlList(j \ "writer" \ "preSql"),
       postSql = sqlList(j \ "writer" \ "postSql"),
+      rebucketTo = num(j \ "maintenance" \ "rebucket", -1L).toInt,
+      compactAfter = (j \ "maintenance" \ "compact") == JBool(true),
+      vacuumAfter = (j \ "maintenance" \ "vacuum") == JBool(true),
       jdbcReader = jdbcReader,
       jdbcWriter = jdbcWriter)
   }

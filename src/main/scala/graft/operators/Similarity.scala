@@ -247,6 +247,106 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Deterministic ±1 centroid directions for the IVF cells — a
+    * different md5 salt family ("c<j>_<d>") than the LSH planes so the
+    * two structures are independent. */
+  def centroidWeights(cells: Int, dim: Int): Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(cells, dim) { (j, d) =>
+      val hex = mdt.digest(s"c${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+  }
+
+  /** (-dot, cellId) structs for every centroid — ascending sort order =
+    * dot descending with first-cell tiebreak. */
+  private def centroidDotStructs(v: Column, cells: Int, dim: Int): Column = {
+    val w = centroidWeights(cells, dim)
+    array((0 until cells).map { j =>
+      struct((-dotLit(v, w(j))).as("nd"), lit(j).as("cid"))
+    }: _*)
+  }
+
+  /** IVF cell id of a vector: argmax_j <v, c_j> over `cells` fixed
+    * spherical centroid directions (first max wins on ties — matched by
+    * the oracle's `list_position(l, list_max(l))`). Implemented as an
+    * array-sort argmax: a when/otherwise fold would reference its
+    * accumulator twice per step and blow up exponentially in tree size.
+    * Scale-invariant (no normalization needed for argmax). At 100 TB the
+    * centroids would come from a sampled k-means; fixed deterministic
+    * directions keep the oracle value-checkable and the plan identical. */
+  def ivfCell(v: Column, cells: Int, dim: Int): Column =
+    element_at(array_sort(centroidDotStructs(v, cells, dim)), 1).getField("cid")
+
+  /** DuckDB SQL list literal of the `cells` centroid dot products over
+    * DOUBLE[] expression `e`. */
+  def ivfDotsSql(e: String, cells: Int, dim: Int): String = {
+    val w = centroidWeights(cells, dim)
+    (0 until cells).map { j =>
+      val lits = w(j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($e)[i] * ($lits::DOUBLE[])[i]))"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** IVF approximate top-k: the corpus is partitioned into `cells`
+    * disjoint spherical cells (an inverted file); each anchor probes its
+    * `nProbe` best cells. The candidate join is an equi-join on the cell
+    * id — and because cells are DISJOINT, probing several cells can
+    * never produce a duplicate (anchor, neighbor) pair, so no dedup
+    * shuffle exists at all. Same output shape as [[bruteForceTopK]].
+    * This is the second approximate-ANN family next to [[lshTopK]]:
+    * IVF bounds work per probe by cell occupancy (corpus/cells expected)
+    * and recall by nProbe; at 10^9+ vectors you raise `cells` so the
+    * posting lists stay executor-sized. */
+  def ivfTopK(emb: DataFrame, anchorPred: Column, k: Int, cells: Int, dim: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells, s"nProbe=$nProbe of $cells cells")
+    val base = withNorm(emb)
+    // narrow postings: (vec_id, cell)
+    val postings = base.select(col("vec_id"), ivfCell(col("emb"), cells, dim).as("cell"))
+    // anchor probe list: top-nProbe cells by dot (dot desc, cell id asc)
+    val dotStructs = centroidDotStructs(col("emb"), cells, dim)
+    val probes = base.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"),
+        explode(transform(slice(array_sort(dotStructs), 1, nProbe), s => s.getField("cid")))
+          .as("cell"))
+    val cand = postings.join(broadcast(probes), Seq("cell"))
+      .filter(col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"))
+    val anchorEmb = base.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
+    val scored = cand.join(base, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(anchorEmb), Seq("anchor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
+        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
+    partialTopK(scored, k)
+  }
+
+  /** DuckDB SQL for [[ivfTopK]] over table `embeddings` with anchors
+    * `anchorWhere`: cell = first-max index of the dot list
+    * (`list_position(l, list_max(l))`), probes = rank over the unnested
+    * dot list. */
+  def ivfTopKSql(anchorWhere: String, k: Int, cells: Int, dim: Int, nProbe: Int): String = {
+    val dots = ivfDotsSql("emb", cells, dim)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |d AS (SELECT vec_id, emb, $dots AS dl FROM e),
+       |post AS (SELECT vec_id, emb, list_position(dl, list_max(dl)) - 1 AS cell FROM d),
+       |aprobe AS (SELECT anchor_id, cid AS cell FROM (
+       |  SELECT d.vec_id AS anchor_id, j.j AS cid,
+       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY (d.dl)[j.j + 1] DESC, j.j ASC) AS r
+       |  FROM d CROSS JOIN (SELECT unnest(range($cells)) AS j) j WHERE $anchorWhere)
+       |  WHERE r <= $nProbe),
+       |aemb AS (SELECT vec_id AS anchor_id, emb AS aemb FROM e WHERE $anchorWhere),
+       |sc AS (SELECT p.anchor_id, c.vec_id AS neighbor_id, ${simSql("a.aemb", "c.emb")} AS sim
+       |  FROM post c JOIN aprobe p ON c.cell = p.cell AND c.vec_id <> p.anchor_id
+       |  JOIN aemb a ON a.anchor_id = p.anchor_id),
+       |rk AS (SELECT anchor_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sc)
+       |SELECT anchor_id, rank, neighbor_id, sim FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** Measured recall@k of the LSH path against the exact baseline:
     * |topk_lsh ∩ topk_exact| / k averaged over anchors — the number
     * that justifies shipping the approximation. One row:

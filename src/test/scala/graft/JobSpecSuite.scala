@@ -142,6 +142,25 @@ class JobSpecSuite extends AnyFunSuite {
     assert(spark.read.parquet(q).count() == 2)
   }
 
+  test("maintenance block: parse + rebucket/compact/vacuum sequence preserves state") {
+    val spec = JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c"},
+        | "maintenance": {"rebucket": 32, "compact": true, "vacuum": true}}""".stripMargin)
+    assert(spec.rebucketTo == 32 && spec.compactAfter && spec.vacuumAfter)
+    // run the sequence Main would run on a real table
+    val dir = tmpDir("graft-maint")
+    val cfg = GenConfig(nEvents = 3000, nDocs = 600, nShards = 2, nSegments = 2, avgTokens = 8)
+    ChangeLogGen.write(spark, cfg, s"$dir/log")
+    val table = Replay.replay(spark, s"$dir/log", s"$dir/table", s"$dir/cp", nBuckets = 8)
+    val before = table.read().orderBy("doc_id").collect()
+    table.rebucket(spec.rebucketTo)
+    table.compact()
+    table.vacuum()
+    assert(table.current.nBuckets == 32)
+    assert(table.read().orderBy("doc_id").collect().sameElements(before))
+  }
+
   test("jdbc reader/writer blocks parse to the Spark jdbc option surface") {
     val spec = JobSpec.parse(
       """{"reader": {"jdbc": {

@@ -108,6 +108,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
   }
 
+  test("ivf ann: cells partition the corpus; probing all cells recovers exact top-k") {
+    val postings = emb.select(col("vec_id"),
+      Similarity.ivfCell(col("embedding").cast("array<double>"), 16, 64).as("cell"))
+    // every vector lands in exactly one cell in [0, 16)
+    assert(postings.filter(col("cell") < 0 || col("cell") >= 16).count() == 0)
+    assert(postings.count() == emb.count())
+    // nProbe = cells means every candidate is considered -> identical to brute force
+    val full = Similarity.ivfTopK(emb, col("vec_id") % 100 === 0, k = 3, cells = 16, dim = 64,
+      nProbe = 16).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute)
+  }
+
   test("ann recall: measured recall in [0,1]; more tables/probes never lowers it") {
     val low = Similarity.recallAtK(emb, col("vec_id") % 100 === 0, k = 5, bits = 8, dim = 64,
       probe = 0, tables = 1).head()
