@@ -44,6 +44,7 @@ object Main {
       maxBytesPerTrigger = spec.maxBytesPerTrigger,
       eventsPerSecond = spec.eventsPerSecond,
       saltBuckets = spec.saltBuckets,
+      assumeOrdered = spec.assumeOrdered,
       deltaThreshold = spec.deltaThreshold,
       maxDeltaChain = spec.maxDeltaChain,
       transform = spec.transformFn,

@@ -33,6 +33,12 @@ import org.json4s.jackson.JsonMethods
  */
 final case class JobSpec(
     logDir: String,
+    /** `reader.assumeOrdered`: declare that micro-batches arrive in
+      * per-shard lsn order (an ordered queue source), enabling the
+      * watermark input fence in BatchApply. The file source makes no
+      * such promise, so this is strictly opt-in; the per-row lsn guard
+      * stays the unconditional correctness net either way. */
+    assumeOrdered: Boolean = false,
     tableDir: String,
     checkpointDir: String,
     nBuckets: Int,
@@ -166,6 +172,7 @@ object JobSpec {
     JobSpec(
       logDir = str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
         throw new IllegalArgumentException("reader needs logDir or jdbc block")),
+      assumeOrdered = (j \ "reader" \ "assumeOrdered") == JBool(true),
       tableDir = str(j \ "writer" \ "tableDir", if (jdbcWriter.isDefined) "" else
         throw new IllegalArgumentException("writer needs tableDir or jdbc block")),
       checkpointDir = str(j \ "writer" \ "checkpointDir",

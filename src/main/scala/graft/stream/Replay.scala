@@ -69,6 +69,7 @@ object Replay {
       maxBytesPerTrigger: Long = -1L,
       eventsPerSecond: Long = -1L,
       saltBuckets: Int = 1,
+      assumeOrdered: Boolean = false,
       deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
       maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
       stopAfterBatches: Int = Int.MaxValue,
@@ -120,6 +121,7 @@ object Replay {
           if (!fenced) {
             val batch = split.map(_.clean).getOrElse(transform(raw))
             val snap = BatchApply.apply(table, batch, batchId, saltBuckets,
+              assumeOrdered = assumeOrdered,
               deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain)
             if (snap.batchId == batchId)
               appliedRows += snap.lineage.filter(_.batchId == batchId).map(_.rows).sum

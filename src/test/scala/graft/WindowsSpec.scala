@@ -44,6 +44,31 @@ class WindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization runs on the RocksDB state store (the at-scale state backend)") {
+    // HDFS-backed state is the default; RocksDB is what a 100 TB run
+    // uses (state >> heap). Same query, same results, different backend.
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[SessionEvent]
+      val out = Windows.sessionize(in.toDS(), watermarkDelay = "1 minutes", gapMs = 10 * 60 * 1000L)
+      val q = out.writeStream.format("memory").queryName("sess_rocks")
+        .outputMode("append").start()
+      try {
+        in.addData(SessionEvent(1, ts(1), 100), SessionEvent(1, ts(5), 101))
+        q.processAllAvailable()
+        in.addData(SessionEvent(9, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 999))
+        q.processAllAvailable()
+        val sessions = spark.table("sess_rocks").as[Session].collect()
+          .map(x => (x.user_id, x.session_start.toString, x.n_events)).toSet
+        assert(sessions.contains((1L, ts(1).toString, 2L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on event-time gaps") {
     import spark.implicits._
     implicit val s: SparkSession = spark
