@@ -36,6 +36,27 @@ object Main {
 
     spec.preSql.foreach(spark.sql(_).collect()) // DataX preSql analog
 
+    // jdbc-reader jobs take the BATCH path (the classic DataX table
+    // copy): load -> transformer chain -> jdbc sink or parquet tableDir
+    if (spec.jdbcReader.isDefined) {
+      val r = spec.jdbcReader.get
+      val df = spec.transformFn(r.load(spark))
+      spec.jdbcWriter match {
+        case Some(w) => w.save(df)
+        case None =>
+          require(spec.tableDir.nonEmpty,
+            "jdbc reader without jdbc writer needs writer.tableDir (parquet sink)")
+          df.write.mode("append").parquet(spec.tableDir)
+      }
+      spec.postSql.foreach(spark.sql(_).collect())
+      println(s"graft jdbc job done: ${r.options("url")} -> " +
+        spec.jdbcWriter.map(_.options("url")).getOrElse(spec.tableDir))
+      spark.stop()
+      return
+    }
+    require(spec.logDir.nonEmpty && spec.tableDir.nonEmpty && spec.checkpointDir.nonEmpty,
+      "replay jobs need reader.logDir + writer.tableDir + writer.checkpointDir")
+
     val metrics = new ReplayMetrics
     val table = Replay.replay(
       spark, spec.logDir, spec.tableDir, spec.checkpointDir,

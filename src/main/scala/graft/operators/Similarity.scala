@@ -137,7 +137,13 @@ object Similarity {
     * (anchor_id, rank, neighbor_id, sim) ordered by sim desc with
     * neighbor_id as the deterministic tiebreak. */
   private def partialTopK(scored: DataFrame, k: Int): DataFrame = {
-    val entry = struct((-col("sim")).as("negSim"),
+    // NaN sims (zero-norm vectors) must rank FIRST to match `ORDER BY
+    // sim DESC` in both Spark's window ordering and the DuckDB oracle
+    // (both treat NaN as greater than any number) — but -NaN is still
+    // NaN and would sort LAST in the ascending struct sort, so map it
+    // to -Infinity explicitly
+    val negSim = when(isnan(col("sim")), lit(Double.NegativeInfinity)).otherwise(-col("sim"))
+    val entry = struct(negSim.as("negSim"),
       col("neighbor_id").as("neighbor_id"), col("sim").as("sim"))
     val local = scored
       .groupBy(col("anchor_id"), spark_partition_id().as("_p"))
@@ -353,8 +359,10 @@ object Similarity {
     * (n_anchors, avg_recall). */
   def recallAtK(emb: DataFrame, anchorPred: Column, k: Int, bits: Int, dim: Int,
       probe: Int = 1, tables: Int = 1): DataFrame = {
+    // the exact side is referenced twice below (hit join + anchor pad):
+    // materialize once instead of re-running the anchor×corpus scoring
     val exact = bruteForceTopK(emb, anchorPred, k)
-      .select(col("anchor_id"), col("neighbor_id"))
+      .select(col("anchor_id"), col("neighbor_id")).localCheckpoint(true)
     val approx = lshTopK(emb, anchorPred, k, bits, dim, probe, tables)
       .select(col("anchor_id"), col("neighbor_id"))
     exact.join(approx, Seq("anchor_id", "neighbor_id"), "left_semi")

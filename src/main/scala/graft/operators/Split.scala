@@ -89,15 +89,14 @@ object Split {
     val maxL = math.min(mn.length, mx.length)
     var l = 0
     while (l < maxL && mn.charAt(l) == mx.charAt(l)) l += 1
-    def pvOf(s: String): Long =
-      (1 to chars).map { i =>
-        val c = if (l + i <= s.length) math.min(s.charAt(l + i - 1).toInt, 127) else 0
-        c.toLong * (1L << (7 * (chars - i)))
-      }.sum
-    val lo = pvOf(mn)
-    val hi = pvOf(mx)
-    val width = (hi - lo + k) / k // >= 1: hi >= lo and +k guarantees it
     val pv = stringPrefixValue(key, l, chars)
+    // bounds of the MAPPED values, not of pv(min-string)/pv(max-string):
+    // the >127 clamp makes the radix value non-monotonic in the string
+    // order for non-ASCII keys, so string-derived bounds could invert
+    val pb = df.agg(min(pv).as("lo"), max(pv).as("hi")).head()
+    val lo = pb.getLong(0)
+    val hi = pb.getLong(1)
+    val width = (hi - lo + k) / k // >= 1: hi >= lo by construction
     df.select(least(floor((pv - lit(lo)) / width).cast("long"), lit(k - 1L)).as("range_id"))
       .groupBy(col("range_id")).agg(count(lit(1)).as("n_rows"))
   }
@@ -106,14 +105,13 @@ object Split {
     * `tbl`, key column `keyCol` — common prefix length, radix bounds and
     * width all derived IN SQL so the oracle is self-contained. */
   def stringRangeSplitSql(tbl: String, keyCol: String, k: Int, chars: Int = 4): String = {
-    val pvMn = stringPrefixValueSql("mn", "l", chars)
-    val pvMx = stringPrefixValueSql("mx", "l", chars)
+    val pvData = stringPrefixValueSql(s"$tbl.$keyCol", "p.l", chars)
     val pvKey = stringPrefixValueSql(s"$tbl.$keyCol", "w.l", chars)
     s"""WITH b AS (SELECT min($keyCol) AS mn, max($keyCol) AS mx FROM $tbl),
-       |p AS (SELECT mn, mx,
+       |p AS (SELECT
        |  list_max(list_filter(range(0, least(length(mn), length(mx)) + 1),
        |    i -> substr(mn, 1, CAST(i AS INT)) = substr(mx, 1, CAST(i AS INT)))) AS l FROM b),
-       |v AS (SELECT l, $pvMn AS lo, $pvMx AS hi FROM p),
+       |v AS (SELECT p.l, min($pvData) AS lo, max($pvData) AS hi FROM $tbl, p GROUP BY p.l),
        |w AS (SELECT l, lo, CAST(floor((hi - lo + $k) / $k.0) AS BIGINT) AS width FROM v)
        |SELECT least(CAST(floor(($pvKey - w.lo)::DOUBLE / w.width) AS BIGINT), ${k - 1}) AS range_id,
        |count(*) AS n_rows FROM $tbl, w GROUP BY 1""".stripMargin

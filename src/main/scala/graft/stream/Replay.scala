@@ -133,19 +133,20 @@ object Replay {
               if (actualSec < minElapsedSec)
                 Thread.sleep(((minElapsedSec - actualSec) * 1000).toLong)
             }
+            // writeRecords = rows the commit actually applied (committed
+            // lineage) on BOTH paths, so the counter means the same thing
+            // with and without routing (the router's cleanRows would
+            // overcount under the assumeOrdered input fence)
+            val applied = if (snap.batchId == batchId)
+              snap.lineage.filter(_.batchId == batchId).map(_.rows).sum else 0L
             metrics.foreach { m =>
+              m.writeRecords.addAndGet(applied)
               split match {
                 case Some(sp) =>
                   m.readRecords.addAndGet(sp.cleanRows + sp.dirtyRows)
                   m.dirtyRecords.addAndGet(sp.dirtyRows)
-                  m.writeRecords.addAndGet(sp.cleanRows)
-                case None if snap.batchId == batchId =>
-                  // no routing pass ran: exact counts come free from the
-                  // committed snapshot's lineage (rows applied per shard)
-                  val rows = snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
-                  m.readRecords.addAndGet(rows)
-                  m.writeRecords.addAndGet(rows)
-                case None => () // empty batch: nothing committed, nothing to count
+                case None =>
+                  m.readRecords.addAndGet(applied)
               }
             }
           }

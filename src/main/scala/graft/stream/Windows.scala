@@ -62,31 +62,33 @@ object Windows {
             Iterator(Session(userId, new java.sql.Timestamp(s.startMs),
               new java.sql.Timestamp(s.lastMs), s.nEvents))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  // a late-but-within-watermark event may PRECEDE the
-                  // tracked session: extend the start backwards too
-                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
-                    lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
-                case Some(s) => // gap exceeded within the batch: close, start anew
-                  closed ::= Session(userId, new java.sql.Timestamp(s.startMs),
-                    new java.sql.Timestamp(s.lastMs), s.nEvents)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+            // interval merge: the tracked session and every event become
+            // [start, end] intervals; sorted by start, adjacent intervals
+            // within gapMs fuse. This handles late-but-within-watermark
+            // events that PRECEDE the tracked session correctly: within
+            // gapMs of its start they extend it backwards, farther back
+            // they form their own session instead of being glued across
+            // a silence longer than the gap.
+            val items =
+              (state.getOption.map(s => SessionState(s.startMs, s.lastMs, s.nEvents)).toList ++
+                batch.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toList)
+                .sortBy(s => (s.startMs, s.lastMs))
+            if (items.isEmpty) Iterator.empty else {
+            val merged = items.foldLeft(List.empty[SessionState]) {
+              case (h :: tail, i) if i.startMs - h.lastMs <= gapMs =>
+                SessionState(h.startMs, math.max(h.lastMs, i.lastMs), h.nEvents + i.nEvents) :: tail
+              case (acc, i) => i :: acc
+            }.reverse
+            // latest interval stays open in state; all earlier ones are
+            // separated from it by > gapMs and close now (an even-later
+            // straggler for one of them would start a fresh session —
+            // bounded by the watermark, same as any append-mode sink)
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            merged.init.map(s => Session(userId, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.nEvents)).iterator
             }
-            cur.foreach { s =>
-              state.update(s)
-              // time out once the watermark passes last-event + gap
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.reverseIterator
           }
       }
   }

@@ -44,6 +44,32 @@ class WindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event farther than gap BEFORE the tracked session forms its own session") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = Windows.sessionize(in.toDS(), watermarkDelay = "40 minutes", gapMs = 10 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      in.addData(SessionEvent(7, ts(30), 1))
+      q.processAllAvailable()
+      // 25 min BEFORE the tracked session (> gap): must NOT bridge the
+      // silence into one session
+      in.addData(SessionEvent(7, ts(5), 2))
+      q.processAllAvailable()
+      // push watermark far past everything: the open session times out
+      in.addData(SessionEvent(8, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 3))
+      q.processAllAvailable()
+      in.addData(SessionEvent(8, java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), 4))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id == 7L).map(x => (x.session_start.toString, x.n_events)).toSet
+      assert(sessions == Set((ts(5).toString, 1L), (ts(30).toString, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionization runs on the RocksDB state store (the at-scale state backend)") {
     // HDFS-backed state is the default; RocksDB is what a 100 TB run
     // uses (state >> heap). Same query, same results, different backend.
