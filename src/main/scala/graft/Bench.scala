@@ -51,6 +51,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(app)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions",
         if (shufflePartitions > 0) shufflePartitions else cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -179,11 +179,17 @@ object SparkEntry {
           graft.operators.TextAnalysis.langId(col("text")).as("predicted"))
         .withColumn("is_match", col("predicted") === col("lang"))),
 
-    // rolling-hash document fingerprint (order-sensitive content hash)
-    "q18_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // rolling-hash document fingerprint (order-sensitive content hash):
+    // the native codegen'd Catalyst expression when the GraftExtensions
+    // session hook is installed (Verify/Bench install it), the portable
+    // HOF formulation otherwise — value-identical either way
+    "q18_fingerprint" -> ((s, dir) => {
+      val fp =
+        if (s.catalog.functionExists("graft_rolling_hash"))
+          graft.operators.TextAnalysis.fingerprintNative(col("text"))
+        else graft.operators.TextAnalysis.fingerprint(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+    }),
 
     // token statistics incl. BPE-ish regex tokenization
     "q19_token_stats" -> ((s, dir) =>

@@ -92,10 +92,17 @@ object TextAnalysis {
 
   /** Production fingerprint: one codegen'd 64-bit xxhash of the whole
     * text — order-sensitive like [[fingerprint]] but evaluated inside
-    * whole-stage codegen with zero per-character work. [[fingerprint]]'s
-    * per-character rolling hash exists ONLY because the DuckDB oracle
-    * must reproduce the value; at 100 TB you ship this one. */
+    * whole-stage codegen with zero per-character work. Use when only
+    * order-sensitivity matters, not the specific rolling-hash value. */
   def fingerprintFast(text: Column): Column = xxhash64(text)
+
+  /** The rolling hash as a NATIVE codegen'd Catalyst expression —
+    * value-identical to [[fingerprint]] (and the DuckDB oracle) without
+    * the interpreted per-character HOF. Requires the session extension
+    * `graft.functions.GraftExtensions` (check
+    * `spark.catalog.functionExists("graft_rolling_hash")`). */
+  def fingerprintNative(text: Column): Column =
+    call_function("graft_rolling_hash", text)
 
   /** Quality scores: length, punctuation ratio, stopword ratio, mean
     * word length — the usual cheap pre-filters for training corpora. */

@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CdcEngineSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .master("local[8]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")

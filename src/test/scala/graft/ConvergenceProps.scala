@@ -21,6 +21,7 @@ import scala.util.Random
 class ConvergenceProps extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .master("local[8]")
     .appName("graft-props")
     .config("spark.sql.shuffle.partitions", "8")

@@ -15,6 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class JobSpecSuite extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .master("local[8]")
     .appName("graft-jobspec-test")
     .config("spark.sql.shuffle.partitions", "8")

@@ -16,6 +16,7 @@ import scala.util.Random
 class MergeOnReadSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .master("local[8]")
     .appName("graft-mor")
     .config("spark.sql.shuffle.partitions", "8")

@@ -16,6 +16,7 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
     .appName("graft-operators-test")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
@@ -154,6 +155,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast(0) != fast(1))
     assert(df.select(TextAnalysis.fingerprintFast(col("text"))).as[Long].collect()
       .sameElements(fast)) // deterministic
+  }
+
+  test("native rolling-hash expression is value-identical to the portable HOF fingerprint") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_rolling_hash"), "GraftExtensions not installed")
+    // edge cases + real docs, evaluated through whole-stage codegen
+    val edge = Seq("", "a", "ab cd", "Zürich ☃ snow", "x" * 5000).toDF("text")
+    for (df <- Seq(edge, docs.select(col("text")))) {
+      val both = df.select(
+        TextAnalysis.fingerprint(col("text")).as("hof"),
+        TextAnalysis.fingerprintNative(col("text")).as("native")).collect()
+      both.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch on ${r}"))
+    }
+    // null stays null
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.fingerprintNative(col("text"))).head.isNullAt(0))
   }
 
   test("minhash LSH mega-bucket cap drops oversized buckets, keeps results at normal sizes") {

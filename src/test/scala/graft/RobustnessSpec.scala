@@ -15,6 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RobustnessSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .master("local[8]")
     .appName("graft-robustness")
     .config("spark.sql.shuffle.partitions", "8")

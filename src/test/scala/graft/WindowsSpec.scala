@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class WindowsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .master("local[4]")
     .appName("graft-windows-test")
     .config("spark.sql.shuffle.partitions", "4")
