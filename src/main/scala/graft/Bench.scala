@@ -73,13 +73,19 @@ object Bench {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
-  /** Child mode: `graft.Bench replay-one <cpus> <workDir>` — warm up,
-    * run the timed ladder entry twice, print BENCH_CHILD_SEC=<best>.
-    * shuffle.partitions is FIXED at 64 (= nBuckets) across all ladder
-    * levels: scaling a real cluster changes the executor count, not the
-    * job's partitioning — and slot-count-sized partitions at local[2]
-    * would spill (4M-row aggregation partitions) and measure the spill. */
-  private def childReplay(cpus: Int, work: String): Unit = {
+  /** Child mode: `graft.Bench replay-one <cpus> <workDir> [attempts]` —
+    * warm up, run timed replays, print BENCH_CHILD_SECS=<csv>.
+    * `attempts > 0` runs EXACTLY that many timed attempts (the
+    * criterion rungs use a fixed, equal count so the N->4N ratio's
+    * numerator and denominator have identical sampling — an adaptive
+    * count would give the rung that needed more attempts more chances
+    * at a low minimum); `attempts == 0` keeps the adaptive 3-5 scheme
+    * for the disclosure-only rungs. shuffle.partitions is FIXED at 64
+    * (= nBuckets) across all ladder levels: scaling a real cluster
+    * changes the executor count, not the job's partitioning — and
+    * slot-count-sized partitions at local[2] would spill (4M-row
+    * aggregation partitions) and measure the spill. */
+  private def childReplay(cpus: Int, work: String, fixedAttempts: Int): Unit = {
     // every attempt's table+checkpoint (~1.2 GB at 8M events) is deleted
     // right after timing: the workdir lives in tmpfs, and letting 4
     // rungs x 3 attempts accumulate steals >10 GB of RAM from the later
@@ -98,12 +104,15 @@ object Bench {
     // 5, stopping once the two FASTEST agree within 10% (two clean
     // samples = the rung is measured).
     val attempts = scala.collection.mutable.ArrayBuffer[Double]()
-    def converged: Boolean = attempts.size >= 3 && {
-      val s = attempts.sorted
-      (s(1) - s(0)) / s(0) <= 0.10
-    }
+    def converged: Boolean =
+      if (fixedAttempts > 0) attempts.size >= fixedAttempts
+      else attempts.size >= 3 && {
+        val s = attempts.sorted
+        (s(1) - s(0)) / s(0) <= 0.10
+      }
+    val maxAttempts = if (fixedAttempts > 0) fixedAttempts else 5
     var attempt = 0
-    while (attempt < 5 && !converged) {
+    while (attempt < maxAttempts && !converged) {
       attempt += 1
       System.gc()
       val s = session(cpus, s"graft-bench-replay-$cpus-$attempt", shufflePartitions = 64)
@@ -120,14 +129,14 @@ object Bench {
 
   /** Fork a fresh JVM running [[childReplay]] with this JVM's classpath
     * and flags; parse the per-attempt seconds. */
-  private def forkReplay(cpus: Int, work: String): Seq[Double] = {
+  private def forkReplay(cpus: Int, work: String, fixedAttempts: Int): Seq[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "replay-one", cpus.toString, work)
+      "graft.Bench", "replay-one", cpus.toString, work, fixedAttempts.toString)
     val pb = new ProcessBuilder(cmd.asJava)
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -150,7 +159,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "replay-one") {
-      childReplay(args(1).toInt, args(2)); return
+      childReplay(args(1).toInt, args(2),
+        if (args.length >= 4) args(3).toInt else 0); return
     }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,8 +215,13 @@ object Bench {
       // forked measurement with in-process fallback: a fork failure
       // (exotic classpath/launcher) must degrade to noisier numbers,
       // never to a missing BENCH line
-      def measure(c: Int): Seq[Double] =
-        try forkReplay(c, work)
+      // criterion rungs (1, 4 cores) run a FIXED, EQUAL attempt count so
+      // the N->4N ratio's numerator and denominator are identically
+      // sampled (both the best-of and the median estimator then read
+      // from 5-attempt samples); the 8/32 disclosure rungs stay adaptive
+      val CriterionAttempts = 5
+      def measure(c: Int, fixedAttempts: Int = 0): Seq[Double] =
+        try forkReplay(c, work, fixedAttempts)
         catch {
           case e: Exception =>
             System.err.println(s"[bench] fork failed for local[$c] (${e.getMessage}); in-process fallback")
@@ -221,8 +236,8 @@ object Bench {
               sec
             }
         }
-      val att1 = measure(1)
-      val att4 = measure(4)
+      val att1 = measure(1, CriterionAttempts)
+      val att4 = measure(4, CriterionAttempts)
       val att8 = measure(8)
       val att32 = measure(32)
       // Per-rung time = best attempt, and the scaling criterion is the

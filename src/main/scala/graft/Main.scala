@@ -19,11 +19,64 @@ import org.apache.spark.sql.SparkSession
  * concerns — same split as DataX's core.json vs job.json).
  */
 object Main {
+
+  /** dryRun / preCheck (the reference's `JobContainer.preCheck`,
+    * `core/.../job/JobContainer.java:100-107`): validate everything
+    * validatable WITHOUT writing a byte — spec shape (already parsed),
+    * reader source existence + schema compatibility with the change-log
+    * contract, target table loadability (descriptor format/bucketFn
+    * stamp), and transformer-chain resolvability (plan-time analysis
+    * over the source schema; reflective load of custom classes).
+    * Returns the list of passed checks; throws on the first failure. */
+  def preCheck(spark: SparkSession, spec: JobSpec): Seq[String] = {
+    val passed = scala.collection.mutable.ArrayBuffer[String]()
+    val srcSchema =
+      if (spec.jdbcReader.isDefined) {
+        passed += s"reader.jdbc: options validated (no live DB probe in dryRun)"
+        graft.model.ChangeLog.schema
+      } else {
+        val logPath = new org.apache.hadoop.fs.Path(spec.logDir)
+        val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(logPath), s"reader.logDir does not exist: ${spec.logDir}")
+        val got = spark.read.parquet(spec.logDir).schema // footer metadata only
+        val gotByName = got.fields.map(f => f.name -> f.dataType).toMap
+        graft.model.ChangeLog.schema.fields.foreach { f =>
+          // catalogString comparison: nullability-insensitive (parquet
+          // round-trips array element nullability differently)
+          require(gotByName.get(f.name).map(_.catalogString).contains(f.dataType.catalogString),
+            s"reader.logDir schema incompatible: expected ${f.name}: ${f.dataType.catalogString}, " +
+              s"found ${gotByName.get(f.name).map(_.catalogString).getOrElse("<absent>")}")
+        }
+        passed += s"reader.logDir: exists, schema matches ChangeLog.schema"
+        got
+      }
+    if (spec.tableDir.nonEmpty && graft.lake.LakeTable.exists(spark, spec.tableDir)) {
+      val snap = graft.lake.LakeTable.load(spark, spec.tableDir).current // validates fv/bucketFn
+      passed += s"writer.tableDir: loadable (v${snap.version}, ${snap.nBuckets} buckets)"
+    } else if (spec.tableDir.nonEmpty) {
+      passed += "writer.tableDir: absent (will be created on first run)"
+    }
+    // transformer chain: plan-time analysis resolves every expression
+    // and reflectively loads custom classes — nothing executes
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), srcSchema)
+    val outSchema = spec.transformFn(empty).schema
+    passed += s"transformers: ${spec.transformers.size} resolved " +
+      s"(output schema: ${outSchema.fieldNames.mkString(", ")})"
+    spec.fileWriter.foreach { fw =>
+      fw.saveMode // validates writeMode
+      passed += s"writer.file: mode '${fw.writeMode}' valid for ${fw.path}"
+    }
+    passed.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: graft.Main <job.json> [runTag]")
-    val spec = JobSpec.parse(
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8"))
-    val tag = if (args.length > 1) args(1) else "run"
+    require(args.length >= 1, "usage: graft.Main <job.json> [runTag] [--dryRun]")
+    val specJson =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8")
+    val spec = JobSpec.parse(specJson)
+    val tag = args.drop(1).find(!_.startsWith("--")).getOrElse("run")
+    val dryRun = spec.dryRun || args.contains("--dryRun")
 
     // master comes from spark-submit; GRAFT_MASTER is a convenience for
     // driving the jar without it (tests / local smoke)
@@ -34,23 +87,41 @@ object Main {
       .fold(builder)(m => builder.master(m)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // anything printed about the spec is masked (Engine.java:110-120
+    // analog): *password*/*accessKey*/*secret*/*token* values never log
+    println(s"graft job spec ($tag):\n${JobSpec.maskSensitive(specJson)}")
+
+    if (dryRun) {
+      val checks = preCheck(spark, spec)
+      println(s"graft preCheck passed (dryRun — nothing written):")
+      checks.foreach(c => println(s"  - $c"))
+      spark.stop()
+      return
+    }
+
     spec.preSql.foreach(spark.sql(_).collect()) // DataX preSql analog
 
-    // jdbc-reader jobs take the BATCH path (the classic DataX table
-    // copy): load -> transformer chain -> jdbc sink or parquet tableDir
-    if (spec.jdbcReader.isDefined) {
-      val r = spec.jdbcReader.get
-      val df = spec.transformFn(r.load(spark))
-      spec.jdbcWriter match {
-        case Some(w) => w.save(df)
-        case None =>
+    // jdbc-reader / file-writer jobs take the BATCH path (the classic
+    // DataX table copy): load -> transformer chain -> jdbc/file/parquet
+    if (spec.jdbcReader.isDefined || spec.fileWriter.isDefined) {
+      val src = spec.jdbcReader match {
+        case Some(r) => r.load(spark)
+        case None => spark.read.parquet(spec.logDir)
+      }
+      val df = spec.transformFn(src)
+      (spec.jdbcWriter, spec.fileWriter) match {
+        case (Some(w), _) => w.save(df)
+        case (None, Some(fw)) => fw.save(df)
+        case (None, None) =>
           require(spec.tableDir.nonEmpty,
-            "jdbc reader without jdbc writer needs writer.tableDir (parquet sink)")
+            "jdbc reader without jdbc/file writer needs writer.tableDir (parquet sink)")
           df.write.mode("append").parquet(spec.tableDir)
       }
       spec.postSql.foreach(spark.sql(_).collect())
-      println(s"graft jdbc job done: ${r.options("url")} -> " +
-        spec.jdbcWriter.map(_.options("url")).getOrElse(spec.tableDir))
+      println(s"graft batch job done: " +
+        spec.jdbcReader.map(_.options("url")).getOrElse(spec.logDir) + " -> " +
+        spec.jdbcWriter.map(_.options("url"))
+          .orElse(spec.fileWriter.map(_.path)).getOrElse(spec.tableDir))
       spark.stop()
       return
     }

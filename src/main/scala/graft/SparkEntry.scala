@@ -162,10 +162,19 @@ object SparkEntry {
       graft.operators.Dedup.minhashLshPairs(
         t(s, dir, "documents"), n = 3, k = 12, bands = 4, threshold = 0.5)),
 
-    // SimHash document signatures (32-bit, salted-md5 hyperplanes)
+    // near-dup cluster resolution: the pairs fold into connected
+    // components (hash-min label propagation) and every doc maps to its
+    // component's canonical keep-id — the step a real dedup pipeline
+    // runs after pair generation (transitive closure)
+    "q36_dedup_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.minhashLshPairs(
+          t(s, dir, "documents"), n = 3, k = 12, bands = 4, threshold = 0.5))),
+
+    // SimHash document signatures (64-bit; 4 coins per md5 nibble)
     "q15_dedup_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), graft.operators.Dedup.simhash32(col("text")).as("simhash"))),
+        .select(col("doc_id"), graft.operators.Dedup.simhash64(col("text")).as("simhash"))),
 
     // n-gram Jaccard similarity: broadcast anchors vs corpus
     "q16_ngram_jaccard" -> ((s, dir) =>
@@ -305,6 +314,16 @@ object SparkEntry {
         t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5, cells = 16, dim = 64,
         nProbe = 4)),
 
+    // §2.4 ComplexTransformer SPI analog: a pluggable multi-record
+    // (mapPartitions) transformer loaded reflectively by class name
+    // through the job-spec machinery
+    "q37_custom_transform" -> ((s, dir) => {
+      val spec = graft.model.TransformerSpec("custom", "",
+        Map("class" -> "graft.functions.NormalizeTextTransformer"))
+      spec(t(s, dir, "documents"))
+        .select(col("doc_id"), col("norm_text"), col("n_words"))
+    }),
+
     // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
     // through the TransformerSpec machinery itself
     "q32_expr_transform" -> ((s, dir) => {
@@ -376,36 +395,16 @@ object SparkEntry {
         |  / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stop_ratio
         |FROM documents""".stripMargin,
 
-    "q14_dedup_minhash" -> {
-      val sh3 = graft.functions.Portable.shinglesSql("text", 3)
-      s"""WITH sh AS (
-         |  SELECT doc_id, text, list_distinct($sh3) AS grams FROM documents),
-         |hsrc AS (
-         |  SELECT doc_id, ${graft.operators.Dedup.shingleHashListSql("grams")} AS hs FROM sh),
-         |sig AS (
-         |  SELECT doc_id, ${graft.operators.Dedup.minhashSigSql(12)} AS sig FROM hsrc),
-         |banded0 AS (
-         |  SELECT doc_id, b.band_idx,
-         |    md5(array_to_string(list_slice(sig, band_idx*3 + 1, band_idx*3 + 3), '|')) AS band_key
-         |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b),
-         |banded AS (
-         |  SELECT doc_id, band_idx, band_key FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n FROM banded0)
-         |  WHERE bucket_n <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM banded a JOIN banded b2
-         |    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
-         |j AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    round(len(list_distinct(list_intersect(ga.grams, gb.grams)))::DOUBLE
-         |      / (len(ga.grams) + len(gb.grams)
-         |         - len(list_distinct(list_intersect(ga.grams, gb.grams)))), 6) AS jaccard
-         |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
-    },
+    "q14_dedup_minhash" ->
+      s"""WITH ${graft.operators.Dedup.minhashPairsCtesSql("documents", n = 3, k = 12, bands = 4, threshold = 0.5)}
+         |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin,
 
-    "q15_dedup_simhash" -> graft.operators.Dedup.simhash32Sql("documents"),
+    "q36_dedup_clusters" ->
+      graft.operators.Dedup.connectedComponentsSql(
+        graft.operators.Dedup.minhashPairsCtesSql(
+          "documents", n = 3, k = 12, bands = 4, threshold = 0.5)),
+
+    "q15_dedup_simhash" -> graft.operators.Dedup.simhash64Sql("documents"),
 
     "q16_ngram_jaccard" -> {
       val sh2 = graft.functions.Portable.shinglesSql("text", 2)
@@ -554,6 +553,11 @@ object SparkEntry {
 
     "q32_expr_transform" ->
       """SELECT doc_id, upper(substr(text, 1, 8)) || '_' || lang AS tagged
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_custom_transform" ->
+      """SELECT doc_id, lower(trim(text)) AS norm_text,
+        |len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        |FROM documents""".stripMargin
   )
 }

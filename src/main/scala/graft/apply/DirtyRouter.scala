@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
  */
 object DirtyRouter {
 
-  /** errorLimit config: `record` = max absolute dirty rows per batch
-    * (-1 = unlimited), `percentage` = max dirty fraction per batch
-    * (NaN = unchecked). DataX defaults: both unset = only counted. */
+  /** errorLimit config, matching the reference's two-phase semantics
+    * (`ErrorRecordChecker.java:18-82` + the final check at
+    * `JobContainer.java:962-966`): `record` = max absolute dirty rows,
+    * checked DURING the run per batch (-1 = unlimited); `percentage` =
+    * max dirty fraction of the WHOLE JOB, checked at job END (NaN =
+    * unchecked) — an early batch with transient dirt does not fail a
+    * job whose overall ratio is fine. DataX defaults: both unset =
+    * only counted. */
   final case class ErrorLimit(record: Long = -1L, percentage: Double = Double.NaN)
 
   final class ErrorLimitExceeded(msg: String) extends RuntimeException(msg)
@@ -85,19 +90,30 @@ object DirtyRouter {
         dirty.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
       }
 
+      // in-run check: the absolute record limit only. The percentage is
+      // a JOB-END check (reference JobContainer.java:962-966) enforced
+      // by the caller over cumulative counts — see Replay.replay.
       if (limit.record >= 0 && dirtyRows > limit.record)
         throw new ErrorLimitExceeded(
           s"dirty records $dirtyRows > errorLimit.record ${limit.record} (batch $batchId)")
-      val total = cleanRows + dirtyRows
-      if (!limit.percentage.isNaN && total > 0 &&
-          dirtyRows.toDouble / total > limit.percentage)
-        throw new ErrorLimitExceeded(
-          f"dirty fraction ${dirtyRows.toDouble / total}%.4f > errorLimit.percentage ${limit.percentage}%.4f (batch $batchId)")
 
       Split(tagged.filter(col("_reason").isNull).drop("_reason"), dirty, cleanRows, dirtyRows,
         cached = Some(tagged))
     } catch {
       case e: Throwable => tagged.unpersist(false); throw e
     }
+  }
+
+  /** Job-END percentage check over the run's cumulative clean/dirty
+    * counts — the analog of the reference's final
+    * `errorLimit.checkPercentageLimit` (`JobContainer.java:962-966`).
+    * Called by the replay once the stream has drained. */
+  def checkFinal(cleanTotal: Long, dirtyTotal: Long, limit: ErrorLimit): Unit = {
+    val total = cleanTotal + dirtyTotal
+    if (!limit.percentage.isNaN && total > 0 &&
+        dirtyTotal.toDouble / total > limit.percentage)
+      throw new ErrorLimitExceeded(
+        f"job dirty fraction ${dirtyTotal.toDouble / total}%.4f > errorLimit.percentage " +
+          f"${limit.percentage}%.4f ($dirtyTotal of $total records)")
   }
 }

@@ -17,13 +17,24 @@ import org.json4s.jackson.JsonMethods
  *
  *   root/
  *     snapshots/v00000001.json   -- immutable snapshot descriptors
- *     data/bucket=K/<uuid>.parquet
+ *     manifests/m-<uuid>.json    -- immutable per-commit delta manifests
+ *     data/c-<uuid>/bucket=K/<uuid>.parquet
  *
  * A snapshot records: schema history (schema-id chain, additive
- * evolution only), the manifest (data files with bucket + row count +
- * lsn min/max stats), a summary (last applied streaming batch-id,
- * per-shard lsn high-watermarks) and per-partition lineage entries
- * (source offset range -> this snapshot id).
+ * evolution only), an ORDERED MANIFEST LIST (each manifest is one
+ * commit's delta: the data files it added, with bucket + row count +
+ * lsn min/max stats, plus the bucket set it replaced), a summary (last
+ * applied streaming batch-id, per-shard lsn high-watermarks) and
+ * per-partition lineage entries (source offset range -> this snapshot
+ * id). The live file set is the left fold of the manifest list: drop
+ * files in a manifest's replaced buckets, append its added files —
+ * so COMMIT METADATA COST IS O(batch files), not O(table files): a
+ * micro-batch writes one delta manifest listing only its own files and
+ * a descriptor holding a few manifest path strings (the Iceberg
+ * manifest-list pattern). Once the list exceeds
+ * [[LakeTable.CompactManifestsAt]] entries, the commit folds it into
+ * ONE consolidated manifest — amortized O(table files /
+ * CompactManifestsAt) per commit, and the descriptor stays bounded.
  *
  * Commit protocol = write-temp-then-rename, the same two-phase pattern
  * the reference uses for atomic file output (DataX
@@ -54,12 +65,22 @@ object LakeTable {
   val LsnCol = "_lsn"
   val DeletedCol = "_deleted"
 
-  /** Table-format identity stamped into every snapshot descriptor. A
-    * reader whose build disagrees must FAIL LOUDLY at load: a table
-    * bucketed by a different hash silently mis-buckets — merges read the
-    * wrong base files and compact() rewrites the wrong buckets. */
-  val FormatVersion = 2
+  /** Table-format identity stamped into every snapshot descriptor.
+    * Version 3 = manifest-list descriptors; version 2 = inline file
+    * lists (still readable — the data layout and bucket function are
+    * unchanged, so a v2 table loads as legacy and upgrades itself on
+    * its next commit). Snapshots written before stamping existed parse
+    * with ABSENT fields: those are treated as the known v1-compatible
+    * format (same bucket fn since v1), per the upgrade policy — the
+    * hard failure is reserved for a DECLARED bucketFn that differs,
+    * because a table bucketed by a different hash silently mis-buckets
+    * (merges read the wrong base files, compact() rewrites the wrong
+    * buckets). */
+  val FormatVersion = 3
   val BucketFn = "murmur3_pmod" // Spark hash() = Murmur3_x86_32 seed 42, pmod nBuckets
+
+  /** Manifest-list length that triggers consolidation at commit. */
+  val CompactManifestsAt = 16
 
   /** `delta=true` marks a merge-on-read file: its rows OVERLAY the
     * bucket's base rows, resolved at read time by max `_lsn` per key
@@ -75,10 +96,11 @@ object LakeTable {
       schemaId: Int,
       schemas: Map[Int, StructType], // user schemas by id
       nBuckets: Int,
-      files: Seq[DataFile],
+      files: Seq[DataFile], // folded live file set (in-memory; not serialized in v3)
       batchId: Long, // last applied streaming batch id (-1 = none)
       watermarks: Map[Int, Long], // shard -> max applied lsn
-      lineage: Seq[LineageEntry]) { // offset ranges this snapshot applied
+      lineage: Seq[LineageEntry], // offset ranges this snapshot applied
+      manifests: Seq[String] = Nil) { // ordered delta-manifest paths (v3)
 
     def schema: StructType = schemas(schemaId)
 
@@ -101,6 +123,39 @@ object LakeTable {
 
   // ---------------------------------------------------------------- json
 
+  private def fileToJson(f: DataFile): JValue = JObject(
+    "path" -> JString(f.path), "bucket" -> JInt(f.bucket), "rows" -> JLong(f.rows),
+    "minLsn" -> JLong(f.minLsn), "maxLsn" -> JLong(f.maxLsn), "schemaId" -> JInt(f.schemaId),
+    "delta" -> JBool(f.delta))
+
+  private def fileFromJson(f: JValue): DataFile = {
+    implicit val fmts: Formats = DefaultFormats
+    DataFile((f \ "path").extract[String], (f \ "bucket").extract[Int],
+      (f \ "rows").extract[Long], (f \ "minLsn").extract[Long], (f \ "maxLsn").extract[Long],
+      (f \ "schemaId").extract[Int],
+      delta = (f \ "delta") match { case JBool(b) => b; case _ => false })
+  }
+
+  /** One commit's delta: files it added + buckets it replaced. The live
+    * file set of a snapshot is the in-order fold of its manifests. */
+  private[lake] final case class Manifest(added: Seq[DataFile], replacedBuckets: Set[Int])
+
+  private[lake] def manifestToJson(m: Manifest): JValue = JObject(
+    "added" -> JArray(m.added.toList.map(fileToJson)),
+    "replacedBuckets" -> JArray(m.replacedBuckets.toList.sorted.map(b => JInt(b))))
+
+  private[lake] def manifestFromJson(j: JValue): Manifest = {
+    implicit val fmts: Formats = DefaultFormats
+    Manifest(
+      (j \ "added").asInstanceOf[JArray].arr.map(fileFromJson),
+      (j \ "replacedBuckets").asInstanceOf[JArray].arr.map(_.extract[Int]).toSet)
+  }
+
+  private[lake] def foldManifests(ms: Seq[Manifest]): Seq[DataFile] =
+    ms.foldLeft(Seq.empty[DataFile]) { (files, m) =>
+      files.filterNot(f => m.replacedBuckets.contains(f.bucket)) ++ m.added
+    }
+
   private def snapToJson(s: Snapshot): JValue = JObject(
     "formatVersion" -> JInt(FormatVersion),
     "bucketFn" -> JString(BucketFn),
@@ -111,25 +166,27 @@ object LakeTable {
       JObject("id" -> JInt(id), "struct" -> JsonMethods.parse(st.json))
     }),
     "nBuckets" -> JInt(s.nBuckets),
-    "files" -> JArray(s.files.toList.map(f => JObject(
-      "path" -> JString(f.path), "bucket" -> JInt(f.bucket), "rows" -> JLong(f.rows),
-      "minLsn" -> JLong(f.minLsn), "maxLsn" -> JLong(f.maxLsn), "schemaId" -> JInt(f.schemaId),
-      "delta" -> JBool(f.delta)))),
+    "manifests" -> JArray(s.manifests.toList.map(JString(_))),
     "batchId" -> JLong(s.batchId),
     "watermarks" -> JObject(s.watermarks.toList.sortBy(_._1).map { case (k, v) => k.toString -> JLong(v) }),
     "lineage" -> JArray(s.lineage.toList.map(l => JObject(
       "batchId" -> JLong(l.batchId), "shard" -> JInt(l.shard),
       "minLsn" -> JLong(l.minLsn), "maxLsn" -> JLong(l.maxLsn), "rows" -> JLong(l.rows)))))
 
+  /** Parse a descriptor. `files` holds inline legacy (v2/pre-stamp)
+    * entries; for v3 descriptors it is empty until [[LakeTable
+    * .snapshotAt]] folds the manifest list. Absent format fields are
+    * the known v1-compatible legacy (the bucket fn never changed);
+    * only a DECLARED mismatch fails. */
   private def snapFromJson(j: JValue): Snapshot = {
     implicit val fmts: Formats = DefaultFormats
     def l(v: JValue): Long = v.extract[Long]
     def i(v: JValue): Int = v.extract[Int]
-    val fv = (j \ "formatVersion") match { case JInt(v) => v.toInt; case _ => -1 }
-    val bf = (j \ "bucketFn") match { case JString(s) => s; case _ => "<missing>" }
-    require(fv == FormatVersion && bf == BucketFn,
+    val fv = (j \ "formatVersion") match { case JInt(v) => v.toInt; case _ => 1 }
+    val bf = (j \ "bucketFn") match { case JString(s) => s; case _ => BucketFn }
+    require(fv <= FormatVersion && bf == BucketFn,
       s"table format mismatch: snapshot declares formatVersion=$fv bucketFn=$bf but this " +
-        s"build reads formatVersion=$FormatVersion bucketFn=$BucketFn — refusing to mis-bucket")
+        s"build reads formatVersion<=$FormatVersion bucketFn=$BucketFn — refusing to mis-bucket")
     Snapshot(
       version = l(j \ "version"),
       parent = l(j \ "parent"),
@@ -138,15 +195,18 @@ object LakeTable {
         i(s \ "id") -> DataType.fromJson(JsonMethods.compact(s \ "struct")).asInstanceOf[StructType]
       }.toMap,
       nBuckets = i(j \ "nBuckets"),
-      files = (j \ "files").asInstanceOf[JArray].arr.map { f =>
-        DataFile((f \ "path").extract[String], i(f \ "bucket"), l(f \ "rows"),
-          l(f \ "minLsn"), l(f \ "maxLsn"), i(f \ "schemaId"),
-          delta = (f \ "delta") match { case JBool(b) => b; case _ => false })
+      files = (j \ "files") match {
+        case JArray(fs) => fs.map(fileFromJson) // legacy inline list
+        case _ => Nil
       },
       batchId = l(j \ "batchId"),
       watermarks = (j \ "watermarks").asInstanceOf[JObject].obj.map { case (k, v) => k.toInt -> l(v) }.toMap,
       lineage = (j \ "lineage").asInstanceOf[JArray].arr.map { e =>
         LineageEntry(l(e \ "batchId"), i(e \ "shard"), l(e \ "minLsn"), l(e \ "maxLsn"), l(e \ "rows"))
+      },
+      manifests = (j \ "manifests") match {
+        case JArray(ms) => ms.collect { case JString(p) => p }
+        case _ => Nil
       })
   }
 
@@ -155,6 +215,7 @@ object LakeTable {
   def create(spark: SparkSession, root: String, userSchema: StructType, nBuckets: Int): LakeTable = {
     val t = new LakeTable(spark, root)
     t.fs.mkdirs(new Path(root, "snapshots"))
+    t.fs.mkdirs(new Path(root, "manifests"))
     t.fs.mkdirs(new Path(root, "data"))
     val s0 = Snapshot(0L, -1L, 0, Map(0 -> userSchema), nBuckets, Nil, -1L, Map.empty, Nil)
     t.writeSnapshot(s0)
@@ -216,9 +277,39 @@ class LakeTable(val spark: SparkSession, val root: String) {
     vs.toSeq.sorted
   }
 
+  /** Snapshots are immutable, so loaded ones are cached (bounded): the
+    * streaming replay asks for `current` several times per micro-batch
+    * and should not re-read descriptor + manifests each time. */
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
+
   def snapshotAt(v: Long): Snapshot = {
+    val hit = snapCache.get(v)
+    if (hit != null) return hit
     val in = fs.open(new Path(snapDir, f"v$v%08d.json"))
-    try snapFromJson(JsonMethods.parse(in)) finally in.close()
+    val parsed = try snapFromJson(JsonMethods.parse(in)) finally in.close()
+    // v3 descriptors carry a manifest list; fold it into the live file
+    // set (v2/legacy descriptors carried the files inline)
+    val snap =
+      if (parsed.manifests.isEmpty) parsed
+      else parsed.copy(files = foldManifests(parsed.manifests.map(readManifest)))
+    if (snapCache.size > 8) snapCache.clear()
+    snapCache.put(v, snap)
+    snap
+  }
+
+  private def readManifest(rel: String): Manifest = {
+    val in = fs.open(new Path(root, rel))
+    try manifestFromJson(JsonMethods.parse(in)) finally in.close()
+  }
+
+  /** Write one immutable delta manifest; returns its root-relative
+    * path. Not yet referenced — the descriptor commit publishes it (an
+    * orphan from a lost commit race is vacuumed). */
+  private def writeManifest(m: Manifest): String = {
+    val rel = s"manifests/m-${UUID.randomUUID()}.json"
+    val out = fs.create(new Path(root, rel), false)
+    try out.write(JsonMethods.pretty(manifestToJson(m)).getBytes("UTF-8")) finally out.close()
+    rel
   }
 
   private[lake] def writeSnapshot(s: Snapshot): Boolean = {
@@ -387,18 +478,32 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val kept = s.files.filterNot(f => replacedBuckets.contains(f.bucket))
     require(newNBuckets.isEmpty || kept.isEmpty,
       "bucket-count change requires replacing every existing file (full rewrite)")
+    val allFiles = kept ++ newFiles
+    // metadata cost per commit = ONE delta manifest of O(batch files);
+    // the manifest list is consolidated once it exceeds the threshold
+    // (amortized O(table files / CompactManifestsAt) per commit)
+    val nextManifests =
+      if (s.manifests.isEmpty && s.files.nonEmpty)
+        // legacy (inline-file) parent: self-upgrade with one consolidated manifest
+        Seq(writeManifest(Manifest(allFiles, Set.empty)))
+      else if (s.manifests.size + 1 > CompactManifestsAt)
+        Seq(writeManifest(Manifest(allFiles, Set.empty)))
+      else
+        s.manifests :+ writeManifest(Manifest(newFiles, replacedBuckets))
     val next = s.copy(
       version = s.version + 1,
       parent = s.version,
       nBuckets = newNBuckets.getOrElse(s.nBuckets),
-      files = kept ++ newFiles,
+      files = allFiles,
       batchId = batchId,
       watermarks = s.watermarks ++ newWatermarks.map { case (k, v) =>
         k -> math.max(v, s.watermarks.getOrElse(k, Long.MinValue))
       },
-      lineage = lineage)
+      lineage = lineage,
+      manifests = nextManifests)
     if (!writeSnapshot(next))
       throw new IllegalStateException(s"commit race on v${next.version}")
+    snapCache.put(next.version, next)
     next
   }
 
@@ -454,9 +559,14 @@ class LakeTable(val spark: SparkSession, val root: String) {
       require(newSchema.fieldNames.contains(f.name), s"column drop not allowed: ${f.name}")
     }
     val nid = s.schemaId + 1
+    // a legacy (inline-file) parent self-upgrades: its file list must
+    // become a manifest before the v3 descriptor can reference it
+    val ms = if (s.manifests.isEmpty && s.files.nonEmpty)
+      Seq(writeManifest(Manifest(s.files, Set.empty))) else s.manifests
     val next = s.copy(version = s.version + 1, parent = s.version,
-      schemaId = nid, schemas = s.schemas + (nid -> newSchema))
+      schemaId = nid, schemas = s.schemas + (nid -> newSchema), manifests = ms)
     if (!writeSnapshot(next)) throw new IllegalStateException("evolve commit race")
+    snapCache.put(next.version, next)
     next
   }
 
@@ -480,12 +590,29 @@ class LakeTable(val spark: SparkSession, val root: String) {
     commit(files, target, s.batchId, Map.empty, Nil, s.version)
   }
 
-  /** Delete data files not referenced by the latest snapshot (crash
-    * debris, superseded COW files), then prune emptied commit/bucket
-    * directories. */
-  def vacuum(): Unit = {
-    val s = current
-    val referenced = s.files.map(f => new Path(root, f.path).toUri.getPath).toSet
+  /** Garbage-collect the table: EXPIRE snapshot descriptors older than
+    * the last `retainLast` (bounding the `snapshots/` listing that
+    * every `current` call scans — without expiration it grows one
+    * descriptor per commit forever), delete manifests no retained
+    * snapshot references (expired ones + orphans from lost commit
+    * races), then delete data files no retained snapshot references
+    * (crash debris, superseded COW files) and prune emptied
+    * commit/bucket directories. Time travel remains valid exactly for
+    * the retained snapshots. */
+  def vacuum(retainLast: Int = 1): Unit = {
+    require(retainLast >= 1, s"vacuum retainLast=$retainLast must be >= 1")
+    val versions = listVersions
+    val snaps = versions.takeRight(retainLast).map(snapshotAt)
+    val referenced = snaps.flatMap(_.files).map(f => new Path(root, f.path).toUri.getPath).toSet
+    val refManifests = snaps.flatMap(_.manifests).map(m => new Path(root, m).toUri.getPath).toSet
+    versions.dropRight(retainLast).foreach { v =>
+      fs.delete(new Path(snapDir, f"v$v%08d.json"), false)
+    }
+    snapCache.clear()
+    val mDir = new Path(root, "manifests")
+    if (fs.exists(mDir)) fs.listStatus(mDir).foreach { st =>
+      if (!refManifests.contains(st.getPath.toUri.getPath)) fs.delete(st.getPath, false)
+    }
     val dataDir = new Path(root, "data")
     // post-order: returns true when `p` still holds anything after cleanup
     def walk(p: Path): Boolean = {

@@ -1,9 +1,24 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions.col
 import org.json4s._
 import org.json4s.jackson.JsonMethods
+
+/** SPI for pluggable multi-record transformers — the engine's answer to
+  * the reference's ComplexTransformer
+  * (`transformer/src/main/java/com/alibaba/datax/transformer/ComplexTransformer.java`,
+  * loaded reflectively by `TransformerRegistry.java:41-108` from a
+  * class name in the job config). Where dx_expr covers anything a row
+  * expression can say, an implementation of this trait owns the whole
+  * DataFrame — typically a `mapPartitions` with per-partition init
+  * (codec handles, dictionaries), the shape `Multimodal.decode`
+  * demonstrates. Bound in the job spec as
+  * `{"name": "custom", "class": "<fqcn>"}`; the class needs a no-arg
+  * constructor. */
+trait RecordsTransformer {
+  def transform(df: DataFrame): DataFrame
+}
 
 /**
  * Job specification — the engine's answer to the reference's job JSON
@@ -77,12 +92,56 @@ final case class JobSpec(
       * source. Mutually exclusive with the change-log reader path; see
       * [[graft.sources.Jdbc]]. */
     jdbcReader: Option[graft.sources.Jdbc.JdbcReaderSpec] = None,
-    jdbcWriter: Option[graft.sources.Jdbc.JdbcWriterSpec] = None) {
+    jdbcWriter: Option[graft.sources.Jdbc.JdbcWriterSpec] = None,
+    /** `writer.file` block: CSV/text/parquet file sink with the
+      * reference's three write modes (see [[FileWriterSpec]]). */
+    fileWriter: Option[FileWriterSpec] = None,
+    /** dryRun / preCheck mode (`JobContainer.java:100-107` analog):
+      * validate the spec, source schema, table format and transformer
+      * chain with ZERO writes. Also settable via `graft.Main --dryRun`. */
+    dryRun: Boolean = false) {
 
   /** Compose the transformer chain into one DataFrame function (the
     * analog of BufferedRecordTransformerExchanger's per-record chain). */
   def transformFn: DataFrame => DataFrame =
     df => transformers.foldLeft(df)((d, t) => t(d))
+}
+
+/** `writer.file` block — the txt/ftp/oss file-writer analog (reference
+  * `txtfilewriter/.../TxtFileWriter.java:95-130`): a CSV/JSON/parquet
+  * sink whose three reference write modes map onto Spark SaveModes —
+  * `truncate` → Overwrite, `append` → Append, `nonConflict` →
+  * ErrorIfExists (fail when output already exists). `header`,
+  * `fieldDelimiter` and `compression` mirror the reference's
+  * unstructured-storage writer options. */
+final case class FileWriterSpec(
+    path: String,
+    format: String = "csv",
+    writeMode: String = "append",
+    header: Boolean = true,
+    fieldDelimiter: String = ",",
+    compression: Option[String] = None) {
+
+  def saveMode: SaveMode = writeMode match {
+    case "truncate" => SaveMode.Overwrite
+    case "append" => SaveMode.Append
+    case "nonConflict" => SaveMode.ErrorIfExists
+    case other => throw new IllegalArgumentException(
+      s"unknown writeMode '$other' (truncate | append | nonConflict)")
+  }
+
+  def save(df: DataFrame): Unit = {
+    val w = df.write.mode(saveMode)
+    format match {
+      case "csv" =>
+        val o = w.option("header", header).option("sep", fieldDelimiter)
+        compression.fold(o)(c => o.option("compression", c)).csv(path)
+      case "json" =>
+        compression.fold(w)(c => w.option("compression", c)).json(path)
+      case "parquet" => w.parquet(path)
+      case other => throw new IllegalArgumentException(s"unknown file format '$other'")
+    }
+  }
 }
 
 /** One dx_* transformer binding (name + pre-bound parameters — the
@@ -95,6 +154,21 @@ final case class TransformerSpec(
   import graft.functions.Transformers._
 
   def apply(df: DataFrame): DataFrame = name match {
+    // pluggable multi-record transformer (ComplexTransformer SPI
+    // analog): class name from the spec, resolved reflectively to a
+    // [[RecordsTransformer]] owning the whole DataFrame
+    case "custom" =>
+      val cls = params.getOrElse("class",
+        throw new IllegalArgumentException("custom transformer needs a 'class' parameter"))
+      val inst =
+        try Class.forName(cls).getDeclaredConstructor().newInstance()
+        catch { case e: ReflectiveOperationException =>
+          throw new IllegalArgumentException(s"cannot instantiate custom transformer '$cls'", e) }
+      inst match {
+        case t: RecordsTransformer => t.transform(df)
+        case other => throw new IllegalArgumentException(
+          s"$cls (${other.getClass.getName}) does not implement graft.model.RecordsTransformer")
+      }
     // arbitrary-SQL-expression transform — the engine's answer to
     // dx_groovy / the ComplexTransformer SPI (reference
     // `GroovyTransformer.java:25-88`): instead of a per-record script
@@ -133,7 +207,7 @@ object JobSpec {
           case (k, JInt(i)) => k -> i.toString
           case (k, JDouble(d)) => k -> d.toString
         }.toMap
-        TransformerSpec(all("name"), all("column"), all - "name" - "column")
+        TransformerSpec(all("name"), all.getOrElse("column", ""), all - "name" - "column")
       }
       case _ => Nil
     }
@@ -169,14 +243,26 @@ object JobSpec {
       case _ => None
     }
 
+    val fileWriter = (j \ "writer" \ "file") match {
+      case o: JObject => Some(FileWriterSpec(
+        path = str(o \ "path"),
+        format = str(o \ "format", "csv"),
+        writeMode = str(o \ "writeMode", "append"),
+        header = (o \ "header") != JBool(false),
+        fieldDelimiter = str(o \ "fieldDelimiter", ","),
+        compression = (o \ "compression") match { case JString(s) => Some(s); case _ => None }))
+      case _ => None
+    }
+
     JobSpec(
       logDir = str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
         throw new IllegalArgumentException("reader needs logDir or jdbc block")),
       assumeOrdered = (j \ "reader" \ "assumeOrdered") == JBool(true),
-      tableDir = str(j \ "writer" \ "tableDir", if (jdbcWriter.isDefined) "" else
-        throw new IllegalArgumentException("writer needs tableDir or jdbc block")),
+      tableDir = str(j \ "writer" \ "tableDir",
+        if (jdbcWriter.isDefined || fileWriter.isDefined) ""
+        else throw new IllegalArgumentException("writer needs tableDir, jdbc or file block")),
       checkpointDir = str(j \ "writer" \ "checkpointDir",
-        if (jdbcReader.isDefined || jdbcWriter.isDefined) ""
+        if (jdbcReader.isDefined || jdbcWriter.isDefined || fileWriter.isDefined) ""
         else throw new IllegalArgumentException("writer.checkpointDir required for replay jobs")),
       nBuckets = num(j \ "writer" \ "nBuckets", 64).toInt,
       saltBuckets = num(j \ "writer" \ "saltBuckets", 1).toInt,
@@ -199,12 +285,34 @@ object JobSpec {
       compactAfter = (j \ "maintenance" \ "compact") == JBool(true),
       vacuumAfter = (j \ "maintenance" \ "vacuum") == JBool(true),
       jdbcReader = jdbcReader,
-      jdbcWriter = jdbcWriter)
+      jdbcWriter = jdbcWriter,
+      fileWriter = fileWriter,
+      dryRun = (j \ "dryRun") == JBool(true) || (j \ "setting" \ "dryRun") == JBool(true))
   }
 
   private def sqlList(v: JValue): Seq[String] = v match {
     case JArray(xs) => xs.collect { case JString(s) => s }
     case JString(s) => Seq(s)
     case _ => Nil
+  }
+
+  private val SensitiveKey = "(?i).*(password|accesskey|secret|token).*".r
+
+  /** Mask the value of every JSON field whose NAME looks sensitive
+    * (`*password*`, `*accessKey*`, `*secret*`, `*token*`) — the analog
+    * of the reference's config masking before any logging
+    * (`core/.../Engine.java:110-120` filters keys ending
+    * password/accessKey). Applied to anything the engine prints or
+    * persists about a job spec; parsing keeps the real values. */
+  def maskSensitive(json: String): String = {
+    def walk(v: JValue): JValue = v match {
+      case JObject(fields) => JObject(fields.map {
+        case (k, _: JString) if SensitiveKey.matches(k) => k -> JString("******")
+        case (k, child) => k -> walk(child)
+      })
+      case JArray(xs) => JArray(xs.map(walk))
+      case x => x
+    }
+    JsonMethods.pretty(walk(JsonMethods.parse(json)))
   }
 }

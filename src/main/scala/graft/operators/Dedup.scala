@@ -106,11 +106,10 @@ object Dedup {
     // repartition first: a single-file input would otherwise run the
     // whole (interpreted, per-row-expensive) shingle pipeline in ONE
     // task. Then stage words -> shingles -> hashes in separate
-    // projections (each evaluated once) and localCheckpoint the tiny
-    // band table so the self-join doesn't re-derive it per side. At
-    // cluster scale substitute a persisted intermediate if task retries
-    // must replay.
-    val banded = docs
+    // projections (each evaluated once) and materialize the tiny band
+    // table so the self-join doesn't re-derive it per side
+    // (persist-with-lineage by default — see [[Mat]]).
+    val banded = Mat.materialize(docs
       .select(col("doc_id"), col("text")).repartition(col("doc_id"))
       .select(col("doc_id"), Portable.words(col("text")).as("ws"))
       .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
@@ -125,8 +124,7 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      .localCheckpoint(true)
+      .drop("bucket_n"))
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -138,17 +136,128 @@ object Dedup {
     // exact verify only the (tiny) candidate set: join it back to the
     // shingle sets — AQE broadcasts the candidate side automatically.
     // grams is joined twice (doc_a, doc_b) -> materialize once.
-    val grams = docs
+    val grams = Mat.materialize(docs
       .select(col("doc_id"), col("text")).repartition(col("doc_id"))
       .select(col("doc_id"), Portable.words(col("text")).as("ws"))
-      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams")))
     cand.join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(grams.as("gb"), col("doc_b") === col("gb.doc_id"))
       .withColumn("jaccard", round(jaccard(col("ga.grams"), col("gb.grams")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** The [[minhashLshPairs]] computation as a DuckDB CTE chain ending in
+    * `mhpairs(doc_a, doc_b, jaccard)` — shared by the q14 oracle and the
+    * cluster-resolution oracle that consumes the same pairs. */
+  def minhashPairsCtesSql(tbl: String, n: Int, k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1000): String = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val shN = Portable.shinglesSql("text", n)
+    s"""sh AS (
+       |  SELECT doc_id, text, list_distinct($shN) AS grams FROM $tbl),
+       |hsrc AS (
+       |  SELECT doc_id, ${shingleHashListSql("grams")} AS hs FROM sh),
+       |sig AS (
+       |  SELECT doc_id, ${minhashSigSql(k)} AS sig FROM hsrc),
+       |banded0 AS (
+       |  SELECT doc_id, b.band_idx,
+       |    md5(array_to_string(list_slice(sig, band_idx*$r + 1, band_idx*$r + $r), '|')) AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest(range($bands)) AS band_idx) b),
+       |banded AS (
+       |  SELECT doc_id, band_idx, band_key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n FROM banded0)
+       |  WHERE bucket_n <= $maxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM banded a JOIN banded b2
+       |    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+       |mhpairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      round(len(list_distinct(list_intersect(ga.grams, gb.grams)))::DOUBLE
+       |        / (len(ga.grams) + len(gb.grams)
+       |           - len(list_distinct(list_intersect(ga.grams, gb.grams)))), 6) AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= $threshold)""".stripMargin
+  }
+
+  /** Near-dup CLUSTER RESOLUTION — the step after pair generation that a
+    * real dedup pipeline actually runs: near-dup pairs are transitive in
+    * intent (A~B and B~C must dedup A, B, C together), so pairs fold
+    * into connected components and each doc maps to its component's
+    * canonical keep-id (the minimum doc_id — deterministic).
+    *
+    * Iterative hash-min label propagation in DataFrames: every round
+    * each node takes the min label over {itself} ∪ neighbors ∪ {its
+    * label's label} (pointer doubling). Each round is TWO equi-joins
+    * (edges ⋈ labels on the neighbor id; labels ⋈ labels for the path
+    * halving) + ONE min-aggregation — no graph library, no cross join,
+    * no driver-side adjacency — and the pointer-doubling term turns
+    * O(diameter) convergence into O(log diameter) rounds, so even
+    * adversarially long chains converge fast. Intermediates are
+    * rebased per round ([[Mat.materializeIter]]) so the logical plan
+    * does NOT grow with iterations (each round references the previous
+    * twice — without truncation the plan doubles per round), and the
+    * convergence check (count of changed labels) doubles as the
+    * materialization barrier. At 100 TB every round is shuffle-bound
+    * on |edges|, the same cost class as the pair join that produced
+    * the input.
+    *
+    * Input: (doc_a, doc_b, ...) pairs. Output: (doc_id, cluster_id),
+    * one row per doc that appears in at least one pair; singleton docs
+    * are their own cluster by definition (callers left-join the corpus
+    * if they need them listed). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = Mat.materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // materializeIter is load-bearing: each round references `labels`
+    // twice (union + join), so without the plan-truncating rebase the
+    // logical plan doubles per round and Catalyst re-analysis goes
+    // exponential long before the data does
+    var labels = Mat.materializeIter(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      // pointer doubling (path halving): also adopt the label OF the
+      // current label, turning O(diameter) convergence into O(log
+      // diameter) rounds — one extra equi-join on the same small table
+      val viaParent = labels.as("x").join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      val next = Mat.materializeIter(
+        labels.union(viaNeighbors).union(viaParent)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
+      // convergence check forces `next`; superseded rounds age out of
+      // the block store by LRU (label tables are narrow)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** DuckDB oracle for [[connectedComponents]] over the pairs produced
+    * by `ctes` (a chain ending in `mhpairs` — see
+    * [[minhashPairsCtesSql]]): a recursive CTE enumerates every
+    * (node, reachable node) pair, and min(reachable) per node is the
+    * component's canonical keep-id. */
+  def connectedComponentsSql(ctes: String): String =
+    s"""WITH RECURSIVE $ctes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+       |  UNION SELECT doc_b, doc_a FROM mhpairs),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
+       |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin
 
   /** |A ∩ B| / |A ∪ B| over two array columns (callers pass distinct'd
     * arrays). Integer set sizes => the double division is IEEE-exact and
@@ -159,75 +268,115 @@ object Dedup {
     when(union === 0d, lit(1d)).otherwise(inter / union)
   }
 
-  /** 32-bit SimHash of the word multiset of `text`: bit b is set when
-    * Σ_words sign_b(word) >= 0. All 32 signs of a word come from ONE
-    * md5 digest — sign_b = (hex nibble b+1 of md5(word)) < 8 — not 32
-    * salted digests (32× less hashing; each nibble of md5 is an
-    * unbiased coin). Pure array expressions — no explode, no UDF.
+  /** Hex digits whose nibble value has bit k set (k = 0 is the LSB):
+    * bit b of a word's 64-bit sign vector reads bit (b mod 4) of md5
+    * nibble (b div 4). Shared between the Spark expression and the
+    * DuckDB SQL so both extract identical coins. */
+  private[operators] val NibbleBitSet =
+    Array("13579bdf", "2367abef", "4567cdef", "89abcdef")
+
+  /** 64-bit SimHash of the word multiset of `text`: bit b is set when
+    * Σ_words sign_b(word) >= 0. All 64 signs of a word come from ONE
+    * md5 digest — sign_b tests bit (b mod 4) of hex nibble (b div 4)
+    * (each md5 bit is an unbiased coin), so 16 nibbles yield 64 coins
+    * with zero extra hashing. 64 bits (vs the round-2 32) keeps the
+    * signature space from saturating with coincidental collisions
+    * beyond ~10⁵ docs and gives the banded join 16-bit band values
+    * (65 536 shuffle keys per band instead of 256) — the scale
+    * parameterization, not a toy one. Pure array expressions — no
+    * explode, no UDF.
     *
     * HOF-interpretation trap avoided: the inner
     * `transform(array(md5(w)), m => ...)` binds the digest to a lambda
-    * VARIABLE, so the 32 nibble reads reference `m` cheaply instead of
+    * VARIABLE, so the 64 nibble reads reference `m` cheaply instead of
     * re-hashing per bit (interpreted lambdas have no subexpression
     * elimination — see [[graft.functions.Portable]] notes). */
-  def simhash32(text: Column): Column = {
-    // per word: one digest -> a 32-element ±1 sign vector
+  def simhash64(text: Column): Column = {
+    // per word: one digest -> a 64-element ±1 sign vector
     val signVecs = transform(Portable.words(text), w =>
       element_at(
         transform(array(md5(w)), m =>
-          transform(sequence(lit(0), lit(31)), b =>
-            when(m.substr(b + lit(1), lit(1)) < "8", lit(1)).otherwise(lit(-1)))),
+          array((0 until 64).map { b =>
+            val nib = m.substr(lit(b / 4 + 1), lit(1))
+            when(lit(NibbleBitSet(b % 4)).contains(nib), lit(1)).otherwise(lit(-1))
+          }: _*)),
         1))
-    // element-wise sum of sign vectors, then positional bit weights
-    val zeros = typedlit(Seq.fill(32)(0))
+    // element-wise sum of sign vectors, then positional bit weights.
+    // Bit 63's weight is Long.MinValue (two's complement sign bit); the
+    // mathematical sum of any weight subset stays within long range, so
+    // no intermediate overflow exists under ANSI arithmetic.
+    val zeros = typedlit(Seq.fill(64)(0))
     val sums = aggregate(signVecs, zeros, (acc, v) => zip_with(acc, v, (a, b) => a + b))
-    val powers = typedlit((0 until 32).map(b => 1L << b))
+    val powers = typedlit((0 until 64).map(b => 1L << b)) // 1L<<63 == Long.MinValue
     aggregate(zip_with(sums, powers, (s, p) => when(s >= 0, p).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** DuckDB SQL computing `simhash32` per doc_id over table `tbl` —
-    * the unnest/group-by formulation of the same function. */
-  def simhash32Sql(tbl: String): String =
+  /** DuckDB SQL computing `simhash64` per doc_id over table `tbl` —
+    * the unnest/group-by formulation of the same function. DuckDB sums
+    * BIGINT into HUGEINT, so the bit-63 weight is spelled as the exact
+    * BIGINT literal and the total (always in long range) casts back. */
+  def simhash64Sql(tbl: String): String = {
+    val nibbleSet = "CASE (b.bit % 4) WHEN 0 THEN '13579bdf' WHEN 1 THEN '2367abef' " +
+      "WHEN 2 THEN '4567cdef' ELSE '89abcdef' END"
     s"""WITH w AS (
        |  SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS word FROM $tbl
        |), m AS (SELECT doc_id, md5(word) AS m FROM w
        |), bits AS (
        |  SELECT m.doc_id, b.bit,
-       |    sum(CASE WHEN substr(m.m, CAST(b.bit + 1 AS INT), 1) < '8' THEN 1 ELSE -1 END) AS s
-       |  FROM m CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+       |    sum(CASE WHEN contains($nibbleSet, substr(m.m, CAST(b.bit // 4 + 1 AS INT), 1))
+       |        THEN 1 ELSE -1 END) AS s
+       |  FROM m CROSS JOIN (SELECT unnest(range(64)) AS bit) b
        |  GROUP BY m.doc_id, b.bit
        |)
-       |SELECT doc_id, sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+       |SELECT doc_id, sum(CASE WHEN s >= 0 THEN
+       |    (CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << bit) END)
+       |  ELSE 0 END)::BIGINT AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
+  }
 
   /** SimHash near-duplicate pairs via BANDED candidate generation: the
-    * 32-bit signature splits into `bands` equal bit-bands; two docs
+    * 64-bit signature splits into `bands` equal bit-bands; two docs
     * within Hamming distance `maxHamming < bands` MUST share at least
     * one band (pigeonhole), so the candidate join is a hash shuffle on
     * (band_idx, band_bits) — never an all-pairs comparison — and is
     * LOSSLESS for the verified distance. Verification is a cheap
     * `bit_count(xor)` on the candidate set.
+    *
+    * `maxBucketSize` is the same mega-bucket cap as
+    * [[minhashLshPairs]]: a band value shared by a boilerplate-heavy
+    * corpus would otherwise go quadratic in one task, so buckets above
+    * the cap are dropped before the self-join (a bucket that large
+    * carries mass, not similarity, and a true near-dup pair still has
+    * bands-1 other chances to collide). The count rides a window over
+    * the same shuffle key as the join — no extra exchange. With the
+    * default 4 bands the band values are 16-bit (65 536 keys per
+    * band), so cap engagement at healthy corpora is rare.
     * Returns (doc_a, doc_b, hamming), doc_a < doc_b. */
-  def simhashNearDup(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(32 % bands == 0, s"bands=$bands must divide 32")
+  def simhashNearDup(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming < bands,
       s"maxHamming=$maxHamming needs > $maxHamming bands for lossless banding (got $bands)")
-    val bandBits = 32 / bands
-    val mask = (1L << bandBits) - 1
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     // stage words -> signature in separate Projects (interpreted HOFs:
     // one evaluation each), repartition a possibly-single-file input,
     // then cut to the narrow (doc_id, sig) table the self-join ships
-    val sig = docs
+    val sig = Mat.materialize(docs
       .select(col("doc_id"), col("text")).repartition(col("doc_id"))
-      .select(col("doc_id"), simhash32(col("text")).as("sig"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), simhash64(col("text")).as("sig")))
+    // shiftright is arithmetic, but the mask strips any sign extension
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_val"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -240,9 +389,11 @@ object Dedup {
 
   /** DuckDB SQL for [[simhashNearDup]] — the banding is lossless for
     * `maxHamming < bands`, so the oracle can verify against the direct
-    * all-pairs formulation (exact same result set). */
+    * all-pairs formulation (exact same result set; the bucket cap
+    * cannot engage at oracle scale, where no band bucket can reach the
+    * default 1000). */
   def simhashNearDupSql(tbl: String, maxHamming: Int): String =
-    s"""WITH s AS (${simhash32Sql(tbl)})
+    s"""WITH s AS (${simhash64Sql(tbl)})
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -262,11 +413,10 @@ object Dedup {
     // repartition a possibly-single-file input, stage the word split,
     // materialize once: both the anchor side and the exploded corpus
     // derive from it (shingling re-evaluation dominates otherwise)
-    val corpus = docs
+    val corpus = Mat.materialize(docs
       .select(col("doc_id"), col("text")).repartition(col("doc_id"))
       .select(col("doc_id"), Portable.words(col("text")).as("ws"))
-      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams")))
     val anchors = corpus.filter(anchorPred)
       .select(col("doc_id").as("anchor_id"), size(col("grams")).as("alen"),
         explode(col("grams")).as("gram"))

@@ -132,10 +132,20 @@ object Similarity {
   }
 
   /** Distributed top-k of `scored` (anchor_id, neighbor_id, sim) rows
-    * per anchor: per-partition k-truncation (map side, bounded state)
-    * then a ≤ k·partitions merge per anchor. Returns
-    * (anchor_id, rank, neighbor_id, sim) ordered by sim desc with
-    * neighbor_id as the deterministic tiebreak. */
+    * per anchor. Returns (anchor_id, rank, neighbor_id, sim) ordered
+    * by sim desc with neighbor_id as the deterministic tiebreak.
+    *
+    * Preferred plan: ONE `groupBy(anchor).agg(graft_topk(entry, k))` on
+    * the native k-bounded heap aggregate ([[graft.functions
+    * .BoundedTopK]], registered by GraftExtensions) — per-group state
+    * is k entries at BOTH the map-side partial and the final merge, so
+    * a huge or skewed partition cannot blow an aggregation buffer.
+    * Fallback (extension absent, or `spark.graft.nativeTopK=false`):
+    * the portable two-level collect_list formulation — per-partition
+    * k-truncation then a ≤ k·partitions merge per anchor; its level-1
+    * buffers are (anchor × partition)-sized before the slice, which is
+    * bounded in the usual case but not by k. Both plans are
+    * value-identical (same (negSim, neighbor_id) total order). */
   private def partialTopK(scored: DataFrame, k: Int): DataFrame = {
     // NaN sims (zero-norm vectors) must rank FIRST to match `ORDER BY
     // sim DESC` in both Spark's window ordering and the DuckDB oracle
@@ -144,16 +154,26 @@ object Similarity {
     // to -Infinity explicitly
     val negSim = when(isnan(col("sim")), lit(Double.NegativeInfinity)).otherwise(-col("sim"))
     val entry = struct(negSim.as("negSim"),
-      col("neighbor_id").as("neighbor_id"), col("sim").as("sim"))
-    val local = scored
-      .groupBy(col("anchor_id"), spark_partition_id().as("_p"))
-      .agg(slice(array_sort(collect_list(entry)), 1, k).as("top"))
-    local.select(col("anchor_id"), explode(col("top")).as("t"))
-      .select(col("anchor_id"), col("t.negSim").as("negSim"),
-        col("t.neighbor_id").as("neighbor_id"), col("t.sim").as("sim"))
-      .groupBy(col("anchor_id"))
-      .agg(slice(array_sort(collect_list(struct(col("negSim"), col("neighbor_id"), col("sim")))),
-        1, k).as("top"))
+      col("neighbor_id").cast("long").as("neighbor_id"), col("sim").as("sim"))
+    val spark = scored.sparkSession
+    val useNative = spark.conf.getOption("spark.graft.nativeTopK").forall(_ != "false") &&
+      spark.catalog.functionExists("graft_topk")
+    val topPerAnchor =
+      if (useNative)
+        scored.groupBy(col("anchor_id"))
+          .agg(call_function("graft_topk", entry, lit(k)).as("top"))
+      else {
+        val local = scored
+          .groupBy(col("anchor_id"), spark_partition_id().as("_p"))
+          .agg(slice(array_sort(collect_list(entry)), 1, k).as("top"))
+        local.select(col("anchor_id"), explode(col("top")).as("t"))
+          .select(col("anchor_id"), col("t.negSim").as("negSim"),
+            col("t.neighbor_id").as("neighbor_id"), col("t.sim").as("sim"))
+          .groupBy(col("anchor_id"))
+          .agg(slice(array_sort(collect_list(struct(col("negSim"), col("neighbor_id"), col("sim")))),
+            1, k).as("top"))
+      }
+    topPerAnchor
       .select(col("anchor_id"), posexplode(col("top")))
       .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.sim").as("sim"))
@@ -361,8 +381,9 @@ object Similarity {
       probe: Int = 1, tables: Int = 1): DataFrame = {
     // the exact side is referenced twice below (hit join + anchor pad):
     // materialize once instead of re-running the anchor×corpus scoring
-    val exact = bruteForceTopK(emb, anchorPred, k)
-      .select(col("anchor_id"), col("neighbor_id")).localCheckpoint(true)
+    // (persist-with-lineage by default — see [[graft.operators.Mat]])
+    val exact = Mat.materialize(bruteForceTopK(emb, anchorPred, k)
+      .select(col("anchor_id"), col("neighbor_id")))
     val approx = lshTopK(emb, anchorPred, k, bits, dim, probe, tables)
       .select(col("anchor_id"), col("neighbor_id"))
     exact.join(approx, Seq("anchor_id", "neighbor_id"), "left_semi")

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
  * partition") with a two-stage exact quantile split in the spirit of the
  * reference's Oracle sampling splitter
  * (`SingleTableSplitUtil.genSplitSqlForOracle:294-389`) but exact:
- *   1. bucket rows into `coarseRanges` contiguous key ranges (driver
- *      computes only min/max — 2 values);
+ *   1. bucket rows into `coarseRanges` contiguous key ranges whose
+ *      bounds come from `approxQuantile` (so ranges stay balanced even
+ *      under clustered key domains);
  *   2. count per range (one map-side-combined aggregation, `coarseRanges`
  *      rows to the driver) → cumulative offsets;
  *   3. rank WITHIN each range (window partitioned by range — parallel),
@@ -32,15 +33,26 @@ import org.apache.spark.sql.functions._
 object Split {
 
   /** Exact distributed ntile over a unique numeric key. Returns the
-    * input projected to (k = key, tile ∈ 1..tiles). */
+    * input projected to (k = key, tile ∈ 1..tiles).
+    *
+    * Coarse ranges are seeded from `approxQuantile` (not even widths
+    * over [min,max]): a pathologically clustered key domain would
+    * collapse even-width ranges into one, funneling the per-range
+    * ranking window through a single task — quantile bounds keep every
+    * range ≈ |rows|/coarseRanges regardless of the distribution. The
+    * range id is a monotone count of bounds ≤ k (a short chain of
+    * integer comparisons — no floating-point division anywhere near a
+    * range boundary). Any integral key type is accepted (cast to long
+    * up front); empty input fails fast. */
   def exactNtile(df: DataFrame, key: Column, tiles: Int, coarseRanges: Int = 64): DataFrame = {
-    val b = df.agg(min(key).as("lo"), max(key).as("hi")).head()
-    val lo = b.getLong(0)
-    val hi = b.getLong(1)
-    val width = math.max(1L, (hi - lo + coarseRanges) / coarseRanges) // ceil-ish, covers hi
-    val ranged = df.select(key.as("k"))
-      .withColumn("range_id",
-        least(floor((col("k") - lo) / width).cast("long"), lit(coarseRanges - 1L)))
+    val keyed = df.select(key.cast("long").as("k"))
+    val probs = (0 to coarseRanges).map(_.toDouble / coarseRanges).toArray
+    val qs = keyed.stat.approxQuantile("k", probs, 0.001)
+    require(qs.nonEmpty, "exactNtile: empty input")
+    // inner bounds only; duplicates (clustered keys) just leave ranges empty
+    val bounds = qs.slice(1, coarseRanges).map(_.toLong).distinct.sorted
+    val ranged = keyed.withColumn("range_id",
+      bounds.map(b => (col("k") >= b).cast("long")).reduceOption(_ + _).getOrElse(lit(0L)))
 
     // per-range counts -> cumulative start offsets (driver: <= coarseRanges rows)
     val counts = ranged.groupBy(col("range_id")).count()
@@ -53,6 +65,9 @@ object Split {
 
     // closed-form ntile over the 0-based global rank r:
     //   first `rem` tiles hold base+1 rows, the rest hold base rows
+    // (the divisions below are over RANKS — row counts, always far
+    // below 2^53 — never over raw key values, so double arithmetic is
+    // exact here)
     val base = total / tiles
     val rem = total % tiles
     val w = Window.partitionBy(col("range_id")).orderBy(col("k"))

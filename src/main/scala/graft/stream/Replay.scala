@@ -100,6 +100,11 @@ object Replay {
 
     var batches = 0
     var appliedRows = 0L
+    // cumulative clean/dirty across THIS run's batches, for the job-END
+    // percentage check (reference semantics: record limit during the
+    // run, percentage at job end — JobContainer.java:962-966)
+    var cumClean = 0L
+    var cumDirty = 0L
     val paceStart = System.nanoTime()
     val query = stream.writeStream
       .queryName("graft-replay")
@@ -139,6 +144,7 @@ object Replay {
             // overcount under the assumeOrdered input fence)
             val applied = if (snap.batchId == batchId)
               snap.lineage.filter(_.batchId == batchId).map(_.rows).sum else 0L
+            split.foreach { sp => cumClean += sp.cleanRows; cumDirty += sp.dirtyRows }
             metrics.foreach { m =>
               m.writeRecords.addAndGet(applied)
               split match {
@@ -162,11 +168,16 @@ object Replay {
         ()
       }
       .start()
+    var killed = false
     try query.awaitTermination()
     catch {
       case e: StreamingQueryException
-        if causeChain(e).exists(_.isInstanceOf[SimulatedKill]) => () // expected
+        if causeChain(e).exists(_.isInstanceOf[SimulatedKill]) => killed = true // expected
     } finally listener.foreach(spark.streams.removeListener)
+    // job-END percentage check (the run completed — a simulated kill is
+    // not a job end, and the resumed run re-counts from its own start)
+    if (!killed && routeDirty)
+      graft.apply.DirtyRouter.checkFinal(cumClean, cumDirty, errorLimit)
     table
   }
 

@@ -79,14 +79,153 @@ class JobSpecSuite extends AnyFunSuite {
     assert(quarantined.count() == 3)
     assert(quarantined.select("_reason").distinct().collect().map(_.getString(0)).toSet ==
       Set("unknown_op", "null_or_empty_doc_id", "token_payload_mismatch"))
-    // errorLimit.record = 0 -> fail
+    // errorLimit.record = 0 -> fail DURING the run (per batch)
     intercept[DirtyRouter.ErrorLimitExceeded] {
       DirtyRouter.route(rows, 8, None, DirtyRouter.ErrorLimit(record = 0))
     }
-    // percentage 0.5 -> 3/5 = 0.6 > 0.5 -> fail
+    // percentage is a JOB-END check (reference JobContainer.java:962-966):
+    // route() never throws on it, checkFinal() does
+    val sp = DirtyRouter.route(rows, 9, None, DirtyRouter.ErrorLimit(percentage = 0.5))
+    assert(sp.cleanRows == 2 && sp.dirtyRows == 3)
+    sp.release()
     intercept[DirtyRouter.ErrorLimitExceeded] {
-      DirtyRouter.route(rows, 9, None, DirtyRouter.ErrorLimit(percentage = 0.5))
+      DirtyRouter.checkFinal(2, 3, DirtyRouter.ErrorLimit(percentage = 0.5)) // 0.6 > 0.5
     }
+    DirtyRouter.checkFinal(7, 3, DirtyRouter.ErrorLimit(percentage = 0.5)) // 0.3 <= 0.5: ok
+  }
+
+  test("writer.file: truncate/append/nonConflict round-trip (TxtFileWriter modes)") {
+    import spark.implicits._
+    val dir = tmpDir("graft-filewriter")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    def spec(mode: String) = JobSpec.parse(
+      s"""{"reader": {"logDir": "$dir/src"},
+         | "writer": {"file": {"path": "$dir/out", "writeMode": "$mode",
+         |                     "fieldDelimiter": ";", "header": true}}}""".stripMargin)
+    // truncate = Overwrite
+    spec("truncate").fileWriter.get.save(df)
+    def readBack() = spark.read.option("header", "true").option("sep", ";")
+      .schema("id LONG, v STRING").csv(s"$dir/out")
+    assert(readBack().count() == 2)
+    spec("truncate").fileWriter.get.save(df) // overwrites, not doubles
+    assert(readBack().count() == 2)
+    // append doubles
+    spec("append").fileWriter.get.save(df)
+    assert(readBack().count() == 4)
+    // nonConflict fails on existing output
+    intercept[Exception] { spec("nonConflict").fileWriter.get.save(df) }
+    assert(readBack().count() == 4, "nonConflict must not touch existing output")
+    // nonConflict succeeds on a fresh path
+    JobSpec.parse(
+      s"""{"reader": {"logDir": "$dir/src"},
+         | "writer": {"file": {"path": "$dir/fresh", "writeMode": "nonConflict"}}}""".stripMargin)
+      .fileWriter.get.save(df)
+    assert(spark.read.option("header", "true").csv(s"$dir/fresh").count() == 2)
+    // unknown mode rejected at use
+    intercept[IllegalArgumentException] { spec("bogus").fileWriter.get.saveMode }
+  }
+
+  test("custom multi-record transformer: reflective load through the spec (ComplexTransformer)") {
+    import spark.implicits._
+    val df = Seq((1L, "  Hello World  "), (2L, "One two THREE four")).toDF("doc_id", "text")
+    val spec = graft.model.TransformerSpec("custom", "",
+      Map("class" -> "graft.functions.NormalizeTextTransformer"))
+    val out = spec(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("norm_text") == "hello world")
+    assert(out(0).getAs[Int]("n_words") == 2)
+    assert(out(1).getAs[String]("norm_text") == "one two three four")
+    assert(out(1).getAs[Int]("n_words") == 4)
+    // parses from job JSON (no "column" needed for custom)
+    val parsed = JobSpec.parse(
+      """{"reader": {"logDir": "/l"}, "writer": {"tableDir": "/t", "checkpointDir": "/c"},
+        | "transformers": [{"name": "custom",
+        |   "class": "graft.functions.NormalizeTextTransformer"}]}""".stripMargin)
+    assert(parsed.transformers.head.params("class").endsWith("NormalizeTextTransformer"))
+    // unknown class and non-conforming class fail loudly
+    intercept[IllegalArgumentException] {
+      graft.model.TransformerSpec("custom", "", Map("class" -> "no.such.Clazz"))(df)
+    }
+    intercept[IllegalArgumentException] {
+      graft.model.TransformerSpec("custom", "", Map("class" -> "java.lang.Object"))(df)
+    }
+  }
+
+  test("sensitive config masking: *password*/*accessKey*/*secret* never print") {
+    val json =
+      """{"reader": {"jdbc": {"jdbcUrl": "jdbc:mysql://db/x", "username": "u",
+        |  "password": "s3cr3t!", "table": "t"}},
+        | "writer": {"jdbc": {"jdbcUrl": "jdbc:mysql://db/y", "table": "o",
+        |  "password": "pw2", "ossAccessKeySecret": "AKIA999"}},
+        | "nested": [{"apiToken": "tok-abc", "plain": "visible"}]}""".stripMargin
+    val masked = JobSpec.maskSensitive(json)
+    Seq("s3cr3t!", "pw2", "AKIA999", "tok-abc").foreach(s =>
+      assert(!masked.contains(s), s"unmasked secret '$s' in:\n$masked"))
+    assert(masked.contains("visible") && masked.contains("jdbc:mysql://db/x"))
+    // parsing keeps the real values (masking is output-only)
+    assert(JobSpec.parse(json).jdbcReader.get.password.contains("s3cr3t!"))
+  }
+
+  test("dryRun preCheck: validates spec/source/table/transformers and writes nothing") {
+    val dir = tmpDir("graft-dryrun")
+    ChangeLogGen.write(spark, GenConfig(nEvents = 500, nDocs = 100, nShards = 2,
+      nSegments = 1), s"$dir/log")
+    val spec = JobSpec.parse(
+      s"""{"dryRun": true,
+         | "reader": {"logDir": "$dir/log"},
+         | "writer": {"tableDir": "$dir/table", "checkpointDir": "$dir/cp"},
+         | "transformers": [{"name": "dx_expr", "column": "source",
+         |                   "expr": "lower(trim(source))"}]}""".stripMargin)
+    assert(spec.dryRun)
+    val checks = Main.preCheck(spark, spec)
+    assert(checks.size >= 3)
+    // NOTHING was written: no table, no checkpoint
+    assert(!new java.io.File(s"$dir/table").exists())
+    assert(!new java.io.File(s"$dir/cp").exists())
+    // failure cases: missing source; unresolvable transformer expression
+    intercept[IllegalArgumentException] {
+      Main.preCheck(spark, spec.copy(logDir = s"$dir/absent"))
+    }
+    intercept[Exception] {
+      Main.preCheck(spark, spec.copy(transformers = Seq(
+        graft.model.TransformerSpec("dx_expr", "x", Map("expr" -> "no_such_col + 1")))))
+    }
+    assert(!new java.io.File(s"$dir/table").exists())
+  }
+
+  test("errorLimit.percentage is enforced at job end, not per batch") {
+    import spark.implicits._
+    // 4 one-file batches; ALL dirt is concentrated in the first batch
+    // (3/5 dirty locally = 0.6) but the job-wide ratio is 3/20 = 0.15
+    val dir = tmpDir("graft-joblimit")
+    def ev(lsn: Long, op: String, doc: String) =
+      graft.model.ChangeEvent(0, lsn, op, doc, Array(1, 2), 2L, "cc", null)
+    val dirtyBatch = Seq(ev(1, "I", "a"), ev(2, "X", "b"), ev(3, "X", "c"),
+      ev(4, "X", "d"), ev(5, "I", "e"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    (0 until 4).foreach { i =>
+      val rows = if (i == 0) dirtyBatch
+      else (1L to 5L).map(j => ev(i * 10 + j, "I", s"doc$i$j"))
+      rows.toDF().coalesce(1).write.parquet(s"$dir/stage$i")
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage$i"))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/log"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(f"$dir/log/seg-$i%05d.parquet"))
+    }
+    // overall 15% dirty <= 20% limit: the early 60%-dirty batch must NOT fail the job
+    Replay.replay(spark, s"$dir/log", s"$dir/t1", s"$dir/cp1", nBuckets = 4,
+      maxFilesPerTrigger = 1, quarantineDir = Some(s"$dir/q1"),
+      errorLimit = DirtyRouter.ErrorLimit(percentage = 0.2))
+    // overall 15% dirty > 10% limit: the job fails AT THE END (all
+    // batches applied — the failure is the final check, not batch 0)
+    val e = intercept[DirtyRouter.ErrorLimitExceeded] {
+      Replay.replay(spark, s"$dir/log", s"$dir/t2", s"$dir/cp2", nBuckets = 4,
+        maxFilesPerTrigger = 1, quarantineDir = Some(s"$dir/q2"),
+        errorLimit = DirtyRouter.ErrorLimit(percentage = 0.1))
+    }
+    assert(e.getMessage.contains("job dirty fraction"))
+    // every clean batch landed before the end check fired
+    assert(graft.lake.LakeTable.load(spark, s"$dir/t2").current.batchId == 3)
   }
 
   test("dx_expr: arbitrary SQL expression transformer (dx_groovy analog)") {

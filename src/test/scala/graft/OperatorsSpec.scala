@@ -46,13 +46,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
-  test("simhash: identical docs share signatures; signature is 32-bit") {
+  test("simhash: identical docs share signatures; 64 bits are actually populated") {
     import spark.implicits._
     val two = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
       .toDF("text")
-    val sigs = two.select(Dedup.simhash32(col("text"))).as[Long].collect()
+    val sigs = two.select(Dedup.simhash64(col("text"))).as[Long].collect()
     assert(sigs(0) == sigs(1))
-    assert(sigs.forall(s => s >= 0 && s < (1L << 32)))
+    assert(sigs(0) != sigs(2))
+    // the corpus exercises the high 32 bits (a 32-bit sig could not)
+    val anyHigh = docs.select(Dedup.simhash64(col("text")).as("s"))
+      .filter(col("s") < 0 || col("s") >= (1L << 32)).count()
+    assert(anyHigh > 0, "no signature used bits 32..63")
   }
 
   test("jaccard: identical sets -> 1, disjoint sets -> 0") {
@@ -173,6 +177,41 @@ class OperatorsSpec extends AnyFunSuite {
       .select(TextAnalysis.fingerprintNative(col("text"))).head.isNullAt(0))
   }
 
+  test("connected components: transitive chains collapse to min keep-id") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3 directly), separate pair 5-6,
+    // and a 4-cycle 10-11-12-13
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("connected components: empty pairs -> empty result; a long chain converges") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    // a 20-hop path exercises multi-round propagation to the far end
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).distinct
+    assert(labels.toSeq == Seq(1L))
+  }
+
+  test("simhash bucket cap engages on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // 50 identical docs: every band bucket holds all 50 -> 1225 pairs
+    // uncapped, quadratic in one task; the cap drops the mega-buckets
+    val boiler = (1L to 50L).map(i => (i, "same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashNearDup(boiler, bands = 4, maxHamming = 3).count()
+    val capped = Dedup.simhashNearDup(boiler, bands = 4, maxHamming = 3,
+      maxBucketSize = 10).count()
+    assert(uncapped == 50L * 49 / 2)
+    assert(capped == 0)
+  }
+
   test("minhash LSH mega-bucket cap drops oversized buckets, keeps results at normal sizes") {
     // cap big enough: identical result as uncapped at this corpus size
     val normal = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5)
@@ -181,6 +220,17 @@ class OperatorsSpec extends AnyFunSuite {
     val capped = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5,
       maxBucketSize = 1).collect()
     assert(capped.isEmpty && normal.nonEmpty)
+  }
+
+  test("native graft_topk aggregate is value-identical to the portable two-level top-k") {
+    assert(spark.catalog.functionExists("graft_topk"), "GraftExtensions not installed")
+    def run(): Seq[(Long, Int, Long, Double)] =
+      Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, k = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    val native = run()
+    spark.conf.set("spark.graft.nativeTopK", "false")
+    val fallback = try run() finally spark.conf.unset("spark.graft.nativeTopK")
+    assert(native.nonEmpty && native == fallback)
   }
 
   test("multimodal: typed mapPartitions decode matches the SQL-expressible metadata") {
