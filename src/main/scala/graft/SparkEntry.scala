@@ -324,6 +324,22 @@ object SparkEntry {
         .select(col("doc_id"), col("norm_text"), col("n_words"))
     }),
 
+    // §1.4 cell-level (multi-version) CDC rendering
+    // (MultiVerModeRecordSender analog): each row change explodes into
+    // per-cell U rows; 'error' events demo the DR (row delete) path
+    "q38_cell_changes" -> ((s, dir) =>
+      graft.operators.CellChanges.render(
+        t(s, dir, "events"),
+        pk = col("user_id"), version = col("event_id"),
+        deletePred = col("event_type") === "error",
+        cells = Seq(
+          "event_type" -> col("event_type"),
+          // fixed-point e4 rendering: floor(v*1e4 + 0.5) is pure IEEE
+          // double arithmetic — bit-identical across engines, unlike
+          // printf (Java HALF_UP vs C round-half-even)
+          "value_e4" -> floor(col("value") * 10000 + 0.5).cast("long"),
+          "props" -> col("props")))),
+
     // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
     // through the TransformerSpec machinery itself
     "q32_expr_transform" -> ((s, dir) => {
@@ -558,6 +574,21 @@ object SparkEntry {
     "q37_custom_transform" ->
       """SELECT doc_id, lower(trim(text)) AS norm_text,
         |len(regexp_split_to_array(trim(text), '\s+')) AS n_words
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q38_cell_changes" ->
+      """SELECT user_id AS pk, column_name, column_value, 'U' AS op_type,
+        |  event_id AS version
+        |FROM (
+        |  SELECT user_id, event_id, c.column_name, c.column_value
+        |  FROM events, UNNEST([
+        |    {'column_name': 'event_type', 'column_value': event_type::VARCHAR},
+        |    {'column_name': 'value_e4',   'column_value': CAST(floor(value * 10000 + 0.5) AS BIGINT)::VARCHAR},
+        |    {'column_name': 'props',      'column_value': props::VARCHAR}]) AS t(c)
+        |  WHERE NOT (event_type = 'error'))
+        |WHERE column_value IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, NULL, NULL, 'DR', event_id
+        |FROM events WHERE event_type = 'error'""".stripMargin
   )
 }
