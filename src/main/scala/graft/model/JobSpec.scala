@@ -45,6 +45,13 @@ trait RecordsTransformer {
  *                   "quarantineDir": "/data/dirty" }
  * }
  * }}}
+ *
+ * Note on quarantine layout: dirty rows land under
+ * `quarantineDir/batch_id=N/` partition directories (idempotent
+ * overwrite per retried batch). Jobs quarantining to a directory that
+ * holds pre-round-2 FLAT dirty files should point at a fresh
+ * `quarantineDir` (or move the old files into a `batch_id=` subdir) —
+ * parquet partition discovery requires one consistent layout.
  */
 final case class JobSpec(
     logDir: String,
