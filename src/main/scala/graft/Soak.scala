@@ -1,0 +1,69 @@
+package graft
+
+import graft.gen.ChangeLogGen
+import graft.model.GenConfig
+import graft.stream.Replay
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Steady-state soak — the SURVEY §7.3 M4 measurement as a reproducible
+ * main: generate a large synthetic binlog (default 10^8 events, 25M
+ * distinct keys, 32 shards) and replay it end-to-end through the full
+ * streaming pipeline in a handful of micro-batches, reporting sustained
+ * change-events/sec and the final table shape. This is the number that
+ * exercises the COW/MOR merge against an already-large table (each
+ * micro-batch rewrites its touched buckets), unlike the bench ladder's
+ * single-table-build replay — and, since round 3, the O(batch-files)
+ * manifest commit path under a growing live file set.
+ *
+ * Env knobs: SPARK_GRAFT_SOAK_EVENTS (default 100,000,000),
+ * SPARK_GRAFT_SOAK_BATCHES (default 4), SPARK_GRAFT_SOAK_WORK
+ * (default under /dev/shm when present — the metric is engine
+ * throughput, not disk writeback).
+ */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val events = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "4").toInt
+    val workRoot = sys.env.get("SPARK_GRAFT_SOAK_WORK").map(java.nio.file.Paths.get(_))
+      .getOrElse(if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"))
+    val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-soak").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))))
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-soak")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = GenConfig(
+      nEvents = events, nDocs = events / 4, nShards = 32, avgTokens = 32,
+      hotPerMille = 50, nSegments = batches, evolveAtLsn = Long.MaxValue)
+    System.err.println(s"[soak] generating $events events under $work")
+    ChangeLogGen.write(spark, cfg, s"$work/log")
+    val nFiles = new java.io.File(s"$work/log").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val perTrigger = math.max(1, (nFiles + batches - 1) / batches)
+
+    System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger)")
+    val t0 = System.nanoTime()
+    val table = Replay.replay(spark, s"$work/log", s"$work/table", s"$work/cp",
+      nBuckets = 64, maxFilesPerTrigger = perTrigger)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val snap = table.current
+    val rows = snap.files.filterNot(_.delta).map(_.rows).sum
+    println(f"""{"soak_events":$events,"batches":$batches,"sec":$sec%.1f,""" +
+      f""""events_per_sec":${events / sec}%.0f,"table_rows":$rows,""" +
+      s""""files":${snap.files.size},"manifests":${snap.manifests.size},""" +
+      s""""versions":${table.listVersions.size}}""")
+    spark.stop()
+  }
+}

@@ -171,10 +171,16 @@ object SparkEntry {
         graft.operators.Dedup.minhashLshPairs(
           t(s, dir, "documents"), n = 3, k = 12, bands = 4, threshold = 0.5))),
 
-    // SimHash document signatures (64-bit; 4 coins per md5 nibble)
-    "q15_dedup_simhash" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), graft.operators.Dedup.simhash64(col("text")).as("simhash"))),
+    // SimHash document signatures (64-bit; 4 coins per md5 nibble) —
+    // native codegen'd expression when GraftExtensions is installed,
+    // portable HOF otherwise (value-identical, q18 pattern)
+    "q15_dedup_simhash" -> ((s, dir) => {
+      val sig =
+        if (s.catalog.functionExists("graft_simhash64"))
+          call_function("graft_simhash64", col("text"))
+        else graft.operators.Dedup.simhash64(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), sig.as("simhash"))
+    }),
 
     // n-gram Jaccard similarity: broadcast anchors vs corpus
     "q16_ngram_jaccard" -> ((s, dir) =>

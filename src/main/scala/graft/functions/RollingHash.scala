@@ -63,7 +63,37 @@ object RollingHash {
 /** Session extension registering the graft native functions
   * (`spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingles(text, n) takes two arguments")
+        ShinglesExpr(children.head, intLit(children(1), "graft_shingles n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashExpr].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_minhash(text, n, k) takes three arguments")
+        MinhashExpr(children.head, intLit(children(1), "graft_minhash n"),
+          intLit(children(2), "graft_minhash k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash64(text) takes one argument")
+        Simhash64Expr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),

@@ -42,13 +42,18 @@ object Dedup {
     * a_j odd and < 2^30 so a*h+b never overflows a signed 64-bit. */
   val MinhashP = 2147483647L // 2^31 - 1 (prime)
 
-  def uhashParams(k: Int): IndexedSeq[(Long, Long)] = {
-    def h7(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(7), 16) // < 2^28
-    }
-    (0 until k).map(j => (1L + 2L * h7(s"mh_a_$j"), h7(s"mh_b_$j") % MinhashP))
+  def uhashParams(k: Int): IndexedSeq[(Long, Long)] =
+    graft.functions.NativeText.params(k).toIndexedSeq.map(a => (a(0), a(1)))
+
+  /** Native codegen'd expression available and not opted out? The
+    * native [[graft.functions.NativeText]] forms are value-identical
+    * to the portable ones (spec'd by OperatorsSpec), so operators
+    * prefer them; `spark.graft.nativeText=false` forces the portable
+    * path (and sessions without GraftExtensions get it implicitly). */
+  private def nativeOk(df: DataFrame, fn: String): Boolean = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.nativeText").forall(_ != "false") &&
+      s.catalog.functionExists(fn)
   }
 
   /** MinHash signature column: ONE md5-derived 32-bit hash per shingle
@@ -104,17 +109,25 @@ object Dedup {
     // per-shingle md5 in its own Project (evaluated once, not k times —
     // CollapseProject won't duplicate non-cheap exprs).
     // repartition first: a single-file input would otherwise run the
-    // whole (interpreted, per-row-expensive) shingle pipeline in ONE
-    // task. Then stage words -> shingles -> hashes in separate
-    // projections (each evaluated once) and materialize the tiny band
-    // table so the self-join doesn't re-derive it per side
+    // whole (per-row-expensive) shingle pipeline in ONE task. The
+    // signature comes from the native codegen'd graft_minhash when the
+    // extension is present (one generated call per row), else from the
+    // staged portable projections (words -> shingles -> hashes in
+    // separate Projects so each interpreted HOF evaluates once) —
+    // value-identical either way. The tiny band table is materialized
+    // so the self-join doesn't re-derive it per side
     // (persist-with-lineage by default — see [[Mat]]).
-    val banded = Mat.materialize(docs
-      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
-      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
-      .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => Portable.hash32(s)).as("hs"))
-      .select(col("doc_id"), sigFromHashes(col("hs"), k).as("sig"))
+    val base = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+    val sigDf =
+      if (nativeOk(docs, "graft_minhash"))
+        base.select(col("doc_id"),
+          call_function("graft_minhash", col("text"), lit(n), lit(k)).as("sig"))
+      else base
+        .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+        .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), s => Portable.hash32(s)).as("hs"))
+        .select(col("doc_id"), sigFromHashes(col("hs"), k).as("sig"))
+    val banded = Mat.materialize(sigDf
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band_idx"),
@@ -136,10 +149,7 @@ object Dedup {
     // exact verify only the (tiny) candidate set: join it back to the
     // shingle sets — AQE broadcasts the candidate side automatically.
     // grams is joined twice (doc_a, doc_b) -> materialize once.
-    val grams = Mat.materialize(docs
-      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
-      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
-      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams")))
+    val grams = Mat.materialize(gramsOf(docs, n))
     cand.join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(grams.as("gb"), col("doc_b") === col("gb.doc_id"))
       .withColumn("jaccard", round(jaccard(col("ga.grams"), col("gb.grams")), 6))
@@ -259,6 +269,19 @@ object Dedup {
        |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id)
        |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin
 
+  /** (doc_id, grams) — distinct word n-gram shingles per doc, via the
+    * native graft_shingles when available (one generated call per row)
+    * else the staged portable projections; value-identical. */
+  private def gramsOf(docs: DataFrame, n: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+    if (nativeOk(docs, "graft_shingles"))
+      base.select(col("doc_id"),
+        array_distinct(call_function("graft_shingles", col("text"), lit(n))).as("grams"))
+    else base
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams"))
+  }
+
   /** |A ∩ B| / |A ∪ B| over two array columns (callers pass distinct'd
     * arrays). Integer set sizes => the double division is IEEE-exact and
     * identical across engines. */
@@ -360,12 +383,16 @@ object Dedup {
       s"maxHamming=$maxHamming needs > $maxHamming bands for lossless banding (got $bands)")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    // stage words -> signature in separate Projects (interpreted HOFs:
-    // one evaluation each), repartition a possibly-single-file input,
-    // then cut to the narrow (doc_id, sig) table the self-join ships
+    // repartition a possibly-single-file input, then cut to the narrow
+    // (doc_id, sig) table the self-join ships; the signature is the
+    // native codegen'd graft_simhash64 when available, else the
+    // portable HOF formulation — value-identical
+    val sigExpr =
+      if (nativeOk(docs, "graft_simhash64")) call_function("graft_simhash64", col("text"))
+      else simhash64(col("text"))
     val sig = Mat.materialize(docs
       .select(col("doc_id"), col("text")).repartition(col("doc_id"))
-      .select(col("doc_id"), simhash64(col("text")).as("sig")))
+      .select(col("doc_id"), sigExpr.as("sig")))
     // shiftright is arithmetic, but the mask strips any sign extension
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -410,13 +437,10 @@ object Dedup {
     * Returns (anchor_id, doc_id, jaccard) for jaccard >= threshold. */
   def anchorJaccard(docs: DataFrame, anchorPred: Column, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "inverted-index jaccard needs threshold > 0")
-    // repartition a possibly-single-file input, stage the word split,
-    // materialize once: both the anchor side and the exploded corpus
-    // derive from it (shingling re-evaluation dominates otherwise)
-    val corpus = Mat.materialize(docs
-      .select(col("doc_id"), col("text")).repartition(col("doc_id"))
-      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
-      .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams")))
+    // repartition a possibly-single-file input, materialize the grams
+    // once: both the anchor side and the exploded corpus derive from it
+    // (shingling re-evaluation dominates otherwise)
+    val corpus = Mat.materialize(gramsOf(docs, n))
     val anchors = corpus.filter(anchorPred)
       .select(col("doc_id").as("anchor_id"), size(col("grams")).as("alen"),
         explode(col("grams")).as("gram"))

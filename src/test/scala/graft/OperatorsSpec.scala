@@ -222,6 +222,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.isEmpty && normal.nonEmpty)
   }
 
+  test("native shingles/minhash/simhash64 expressions are value-identical to the portable HOFs") {
+    import spark.implicits._
+    for (fn <- Seq("graft_shingles", "graft_minhash", "graft_simhash64"))
+      assert(spark.catalog.functionExists(fn), s"$fn not registered")
+    val edge = Seq("", "a", "one two", "one two three four five", "Zürich ☃ snow  padded")
+      .toDF("text")
+    for (df <- Seq(edge, docs.select(col("text")))) {
+      val rows = df.select(
+        array_distinct(Portable.shingles(col("text"), 3)).as("p_sh"),
+        array_distinct(call_function("graft_shingles", col("text"), lit(3))).as("n_sh"),
+        Dedup.minhashSig(col("text"), 3, 12).as("p_mh"),
+        call_function("graft_minhash", col("text"), lit(3), lit(12)).as("n_mh"),
+        Dedup.simhash64(col("text")).as("p_sim"),
+        call_function("graft_simhash64", col("text")).as("n_sim")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"shingles mismatch: $r")
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"minhash mismatch: $r")
+        assert(r.getLong(4) == r.getLong(5), s"simhash mismatch: $r")
+      }
+    }
+    // null stays null
+    val nulls = Seq(Option.empty[String]).toDF("text").select(
+      call_function("graft_shingles", col("text"), lit(2)),
+      call_function("graft_minhash", col("text"), lit(2), lit(4)),
+      call_function("graft_simhash64", col("text"))).head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
+  test("minhash LSH pairs identical with native expressions on and off") {
+    val native = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.nativeText", "false")
+    val portable = try Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    finally spark.conf.unset("spark.graft.nativeText")
+    assert(native.nonEmpty && native == portable)
+  }
+
   test("native graft_topk aggregate is value-identical to the portable two-level top-k") {
     assert(spark.catalog.functionExists("graft_topk"), "GraftExtensions not installed")
     def run(): Seq[(Long, Int, Long, Double)] =
