@@ -330,6 +330,18 @@ object SparkEntry {
         .select(col("doc_id"), col("norm_text"), col("n_words"))
     }),
 
+    // IVF with LEARNED centroids: deterministic sampled spherical
+    // k-means (scaled-integer sums — see Similarity.kmeansCentroids)
+    // feeds the same disjoint-cell plan; iterative + data-dependent
+    // floats = not SQL-expressible, so no oracleSql entry (driver
+    // records the rows-only check; determinism and the probe-all-cells
+    // == exact invariant are spec-tested)
+    "q39_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = graft.operators.Similarity.kmeansCentroids(emb, cells = 16, dim = 64, iters = 3)
+      graft.operators.Similarity.ivfTopKWith(emb, col("vec_id") % 100 === 0, k = 5, cent, nProbe = 4)
+    }),
+
     // §1.4 cell-level (multi-version) CDC rendering
     // (MultiVerModeRecordSender analog): each row change explodes into
     // per-cell U rows; 'error' events demo the DR (row delete) path

@@ -287,11 +287,68 @@ object Similarity {
 
   /** (-dot, cellId) structs for every centroid — ascending sort order =
     * dot descending with first-cell tiebreak. */
-  private def centroidDotStructs(v: Column, cells: Int, dim: Int): Column = {
-    val w = centroidWeights(cells, dim)
-    array((0 until cells).map { j =>
+  private def centroidDotStructsW(v: Column, w: Array[Array[Double]]): Column =
+    array(w.indices.map { j =>
       struct((-dotLit(v, w(j))).as("nd"), lit(j).as("cid"))
     }: _*)
+
+  private def centroidDotStructs(v: Column, cells: Int, dim: Int): Column =
+    centroidDotStructsW(v, centroidWeights(cells, dim))
+
+  /** Spherical k-means over the corpus — the "sampled k-means at scale"
+    * the fixed-direction IVF scaladoc promises: `iters` Lloyd rounds,
+    * each ONE assignment projection + ONE aggregation shuffle of
+    * n·dim (sampled) rows, with the k×dim result collected to the
+    * driver (tiny). Seeded from the deterministic ±1 directions, so the
+    * whole procedure is a pure function of the data.
+    *
+    * Determinism trick: per-dimension sums accumulate as SCALED LONGS
+    * (`floor(v · 2^20)`) — integer addition is associative, so the
+    * result is independent of Spark's partial-aggregation merge order,
+    * unlike double summation (whose low-order bits vary run to run and
+    * can flip near-tie assignments downstream). Centroids are unit-
+    * normalized; a cell that captures no vectors keeps its previous
+    * centroid. At 10^9+ vectors pass `sampleFraction` < 1 — k-means
+    * needs a sample, not the corpus (the sample is seeded, still
+    * deterministic). */
+  def kmeansCentroids(emb: DataFrame, cells: Int, dim: Int, iters: Int = 5,
+      sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    val Scale = 1L << 20
+    val vecs0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val vecs = Mat.materialize(
+      if (sampleFraction >= 1.0) vecs0 else vecs0.sample(withReplacement = false, sampleFraction, seed = 7L))
+    var cent = centroidWeights(cells, dim).map(normalize)
+    var it = 0
+    while (it < iters) {
+      it += 1
+      // two selects: a generator (posexplode) in the same projection as
+      // the struct-field extraction breaks alias resolution inside the
+      // argmax struct (fields degrade to col1/col2)
+      val assigned = vecs
+        .select(element_at(array_sort(centroidDotStructsW(col("emb"), cent)), 1)
+          .getField("cid").as("cell"), col("emb"))
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      val rows = assigned.groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("x") * Scale).cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect() // <= cells*dim rows
+      val sums = Array.fill(cells, dim)(0.0)
+      val counts = new Array[Long](cells)
+      rows.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getLong(2).toDouble / Scale
+        counts(c) = r.getLong(3)
+      }
+      cent = Array.tabulate(cells) { c =>
+        if (counts(c) == 0) cent(c) // empty cell keeps its centroid
+        else normalize(sums(c).map(_ / counts(c)))
+      }
+    }
+    cent
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
   }
 
   /** IVF cell id of a vector: argmax_j <v, c_j> over `cells` fixed
@@ -326,13 +383,24 @@ object Similarity {
     * and recall by nProbe; at 10^9+ vectors you raise `cells` so the
     * posting lists stay executor-sized. */
   def ivfTopK(emb: DataFrame, anchorPred: Column, k: Int, cells: Int, dim: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    ivfTopKWith(emb, anchorPred, k, centroidWeights(cells, dim), nProbe)
+
+  /** [[ivfTopK]] with EXPLICIT centroid directions — the production
+    * entry point once [[kmeansCentroids]] has learned them (the fixed
+    * ±1 directions remain the oracle-checkable default). Same plan
+    * shape: disjoint cells, equi-join, no dedup shuffle. */
+  def ivfTopKWith(emb: DataFrame, anchorPred: Column, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val cells = centroids.length
     require(nProbe >= 1 && nProbe <= cells, s"nProbe=$nProbe of $cells cells")
     val base = withNorm(emb)
     // narrow postings: (vec_id, cell)
-    val postings = base.select(col("vec_id"), ivfCell(col("emb"), cells, dim).as("cell"))
+    val postings = base.select(col("vec_id"),
+      element_at(array_sort(centroidDotStructsW(col("emb"), centroids)), 1)
+        .getField("cid").as("cell"))
     // anchor probe list: top-nProbe cells by dot (dot desc, cell id asc)
-    val dotStructs = centroidDotStructs(col("emb"), cells, dim)
+    val dotStructs = centroidDotStructsW(col("emb"), centroids)
     val probes = base.filter(anchorPred)
       .select(col("vec_id").as("anchor_id"),
         explode(transform(slice(array_sort(dotStructs), 1, nProbe), s => s.getField("cid")))
@@ -378,14 +446,23 @@ object Similarity {
     * that justifies shipping the approximation. One row:
     * (n_anchors, avg_recall). */
   def recallAtK(emb: DataFrame, anchorPred: Column, k: Int, bits: Int, dim: Int,
-      probe: Int = 1, tables: Int = 1): DataFrame = {
+      probe: Int = 1, tables: Int = 1): DataFrame =
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      lshTopK(emb, anchorPred, k, bits, dim, probe, tables), k)
+
+  /** Measured recall@k of the IVF path (typically with
+    * [[kmeansCentroids]]-learned directions) vs the exact baseline. */
+  def ivfRecallAtK(emb: DataFrame, anchorPred: Column, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      ivfTopKWith(emb, anchorPred, k, centroids, nProbe), k)
+
+  private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame, k: Int): DataFrame = {
     // the exact side is referenced twice below (hit join + anchor pad):
     // materialize once instead of re-running the anchor×corpus scoring
     // (persist-with-lineage by default — see [[graft.operators.Mat]])
-    val exact = Mat.materialize(bruteForceTopK(emb, anchorPred, k)
-      .select(col("anchor_id"), col("neighbor_id")))
-    val approx = lshTopK(emb, anchorPred, k, bits, dim, probe, tables)
-      .select(col("anchor_id"), col("neighbor_id"))
+    val exact = Mat.materialize(exactTopK.select(col("anchor_id"), col("neighbor_id")))
+    val approx = approxTopK.select(col("anchor_id"), col("neighbor_id"))
     exact.join(approx, Seq("anchor_id", "neighbor_id"), "left_semi")
       .groupBy(col("anchor_id")).agg(count(lit(1)).as("hits"))
       // right-pad with 0-hit anchors via a left join from the exact side

@@ -127,6 +127,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("kmeans centroids: deterministic, objective-improving, probe-all == exact") {
+    import graft.operators.Similarity
+    val c1 = Similarity.kmeansCentroids(emb, cells = 16, dim = 64, iters = 3)
+    val c2 = Similarity.kmeansCentroids(emb, cells = 16, dim = 64, iters = 3)
+    // scaled-integer sums make the whole procedure a pure function of
+    // the data: bit-identical across runs
+    assert(c1.flatten.toSeq == c2.flatten.toSeq)
+    // Lloyd rounds cannot worsen the spherical objective vs the fixed
+    // (normalized) init directions
+    def objective(cent: Array[Array[Double]]): Double = {
+      val dots = cent.map(w => graft.operators.Similarity.cosine(
+        col("embedding"), typedlit(w.toSeq)))
+      emb.select(avg(greatest(dots.toIndexedSeq: _*))).head.getDouble(0)
+    }
+    val fixedNorm = Similarity.centroidWeights(16, 64)
+    assert(objective(c1) >= objective(fixedNorm) - 1e-6)
+    // probing every cell is exact regardless of the centroids (cells
+    // are a disjoint cover)
+    val all = Similarity.ivfTopKWith(emb, col("vec_id") % 100 === 0, k = 3, c1, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 100 === 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all == brute)
+    // measured recall of the learned-centroid path at nProbe=4
+    val r = Similarity.ivfRecallAtK(emb, col("vec_id") % 100 === 0, k = 5, c1, nProbe = 4).head
+    val recall = r.getDouble(1)
+    assert(recall >= 0.0 && recall <= 1.0)
+    info(f"kmeans-IVF recall@5 (nProbe=4/16) = $recall%.3f")
+  }
+
   test("ann recall: measured recall in [0,1]; more tables/probes never lowers it") {
     val low = Similarity.recallAtK(emb, col("vec_id") % 100 === 0, k = 5, bits = 8, dim = 64,
       probe = 0, tables = 1).head()
