@@ -225,7 +225,9 @@ object Bench {
         catch {
           case e: Exception =>
             System.err.println(s"[bench] fork failed for local[$c] (${e.getMessage}); in-process fallback")
-            (1 to 2).map { attempt =>
+            // honor the criterion rungs' fixed attempt count so the
+            // N->4N ratio stays identically sampled even on this path
+            (1 to math.max(2, fixedAttempts)).map { attempt =>
               System.gc()
               val s = session(c, s"graft-bench-inproc-$c-$attempt", shufflePartitions = 64)
               val sec = time(Replay.replay(

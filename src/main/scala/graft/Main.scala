@@ -30,11 +30,15 @@ object Main {
     * Returns the list of passed checks; throws on the first failure. */
   def preCheck(spark: SparkSession, spec: JobSpec): Seq[String] = {
     val passed = scala.collection.mutable.ArrayBuffer[String]()
-    val srcSchema =
+    // None = source schema unknowable without a live connection (jdbc):
+    // transformer EXPRESSION analysis is skipped (a chain valid against
+    // the actual table would wrongly fail against any guessed schema,
+    // and vice versa); class-loading checks still run
+    val srcSchema: Option[org.apache.spark.sql.types.StructType] =
       if (spec.jdbcReader.isDefined) {
         passed += s"reader.jdbc: options validated (no live DB probe in dryRun)"
-        graft.model.ChangeLog.schema
-      } else {
+        None
+      } else Some {
         val logPath = new org.apache.hadoop.fs.Path(spec.logDir)
         val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(logPath), s"reader.logDir does not exist: ${spec.logDir}")
@@ -57,12 +61,26 @@ object Main {
       passed += "writer.tableDir: absent (will be created on first run)"
     }
     // transformer chain: plan-time analysis resolves every expression
-    // and reflectively loads custom classes — nothing executes
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), srcSchema)
-    val outSchema = spec.transformFn(empty).schema
-    passed += s"transformers: ${spec.transformers.size} resolved " +
-      s"(output schema: ${outSchema.fieldNames.mkString(", ")})"
+    // and reflectively loads custom classes — nothing executes. With an
+    // unknowable source schema (jdbc) only the class-loading half runs.
+    srcSchema match {
+      case Some(schema) =>
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        val outSchema = spec.transformFn(empty).schema
+        passed += s"transformers: ${spec.transformers.size} resolved " +
+          s"(output schema: ${outSchema.fieldNames.mkString(", ")})"
+      case None =>
+        spec.transformers.filter(_.name == "custom").foreach { t =>
+          val cls = t.params.getOrElse("class",
+            throw new IllegalArgumentException("custom transformer needs a 'class' parameter"))
+          val inst = Class.forName(cls).getDeclaredConstructor().newInstance()
+          require(inst.isInstanceOf[graft.model.RecordsTransformer],
+            s"$cls does not implement graft.model.RecordsTransformer")
+        }
+        passed += s"transformers: ${spec.transformers.size} parsed, custom classes loadable " +
+          "(expression analysis skipped: jdbc source schema unknown without a live connection)"
+    }
     spec.fileWriter.foreach { fw =>
       fw.saveMode // validates writeMode
       passed += s"writer.file: mode '${fw.writeMode}' valid for ${fw.path}"

@@ -176,7 +176,7 @@ object SparkEntry {
     // portable HOF otherwise (value-identical, q18 pattern)
     "q15_dedup_simhash" -> ((s, dir) => {
       val sig =
-        if (s.catalog.functionExists("graft_simhash64"))
+        if (graft.operators.Dedup.nativeOk(s, "graft_simhash64"))
           call_function("graft_simhash64", col("text"))
         else graft.operators.Dedup.simhash64(col("text"))
       t(s, dir, "documents").select(col("doc_id"), sig.as("simhash"))
@@ -200,7 +200,7 @@ object SparkEntry {
     // HOF formulation otherwise — value-identical either way
     "q18_fingerprint" -> ((s, dir) => {
       val fp =
-        if (s.catalog.functionExists("graft_rolling_hash"))
+        if (graft.operators.Dedup.nativeOk(s, "graft_rolling_hash"))
           graft.operators.TextAnalysis.fingerprintNative(col("text"))
         else graft.operators.TextAnalysis.fingerprint(col("text"))
       t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))

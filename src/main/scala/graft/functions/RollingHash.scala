@@ -106,13 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_topk(entry, k) takes two arguments")
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an integer literal, got $other")
-        }
-        BoundedTopK(children.head, k)
+        BoundedTopK(children.head, intLit(children(1), "graft_topk k"))
       }))
   }
 }

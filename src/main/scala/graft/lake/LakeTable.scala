@@ -282,6 +282,17 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * and should not re-read descriptor + manifests each time. */
   private val snapCache = new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
 
+  /** Every cache insert — read-path AND commit-path — goes through the
+    * same bounded put: a long-lived streaming writer commits one
+    * snapshot per micro-batch and each Snapshot holds the table's full
+    * folded file list, so an unbounded cache is a driver-heap leak
+    * over a multi-day run. */
+  private def cachePut(v: Long, snap: Snapshot): Snapshot = {
+    if (snapCache.size > 8) snapCache.clear()
+    snapCache.put(v, snap)
+    snap
+  }
+
   def snapshotAt(v: Long): Snapshot = {
     val hit = snapCache.get(v)
     if (hit != null) return hit
@@ -292,9 +303,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val snap =
       if (parsed.manifests.isEmpty) parsed
       else parsed.copy(files = foldManifests(parsed.manifests.map(readManifest)))
-    if (snapCache.size > 8) snapCache.clear()
-    snapCache.put(v, snap)
-    snap
+    cachePut(v, snap)
   }
 
   private def readManifest(rel: String): Manifest = {
@@ -503,8 +512,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
       manifests = nextManifests)
     if (!writeSnapshot(next))
       throw new IllegalStateException(s"commit race on v${next.version}")
-    snapCache.put(next.version, next)
-    next
+    cachePut(next.version, next)
   }
 
   // --------------------------------------------------------- re-bucketing
@@ -566,8 +574,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val next = s.copy(version = s.version + 1, parent = s.version,
       schemaId = nid, schemas = s.schemas + (nid -> newSchema), manifests = ms)
     if (!writeSnapshot(next)) throw new IllegalStateException("evolve commit race")
-    snapCache.put(next.version, next)
-    next
+    cachePut(next.version, next)
   }
 
   // ------------------------------------------------------------- maintain

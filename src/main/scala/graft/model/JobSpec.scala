@@ -214,7 +214,14 @@ object JobSpec {
           case (k, JInt(i)) => k -> i.toString
           case (k, JDouble(d)) => k -> d.toString
         }.toMap
-        TransformerSpec(all("name"), all.getOrElse("column", ""), all - "name" - "column")
+        // only the class-loaded multi-record transformer is column-less;
+        // the dx_* scalar transformers fail at parse time without one
+        // (matching the reference's loud missing-parameter error)
+        val column =
+          if (all("name") == "custom") all.getOrElse("column", "")
+          else all.getOrElse("column", throw new IllegalArgumentException(
+            s"transformer ${all("name")} requires a 'column' field"))
+        TransformerSpec(all("name"), column, all - "name" - "column")
       }
       case _ => Nil
     }

@@ -50,11 +50,11 @@ object Dedup {
     * to the portable ones (spec'd by OperatorsSpec), so operators
     * prefer them; `spark.graft.nativeText=false` forces the portable
     * path (and sessions without GraftExtensions get it implicitly). */
-  private def nativeOk(df: DataFrame, fn: String): Boolean = {
-    val s = df.sparkSession
+  def nativeOk(s: org.apache.spark.sql.SparkSession, fn: String): Boolean =
     s.conf.getOption("spark.graft.nativeText").forall(_ != "false") &&
       s.catalog.functionExists(fn)
-  }
+
+  private def nativeOk(df: DataFrame, fn: String): Boolean = nativeOk(df.sparkSession, fn)
 
   /** MinHash signature column: ONE md5-derived 32-bit hash per shingle
     * ([[Portable.hash32]]), then k cheap universal hashes
@@ -227,30 +227,34 @@ object Dedup {
     // twice (union + join), so without the plan-truncating rebase the
     // logical plan doubles per round and Catalyst re-analysis goes
     // exponential long before the data does
-    var labels = Mat.materializeIter(
+    var labels = Mat.materializeIterReleasable(
       edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+      val viaNeighbors = edges.join(labels.df, edges("dst") === labels.df("id"))
         .select(edges("src").as("id"), col("label"))
       // pointer doubling (path halving): also adopt the label OF the
       // current label, turning O(diameter) convergence into O(log
       // diameter) rounds — one extra equi-join on the same small table
-      val viaParent = labels.as("x").join(labels.as("y"), col("x.label") === col("y.id"))
+      val viaParent = labels.df.as("x").join(labels.df.as("y"), col("x.label") === col("y.id"))
         .select(col("x.id").as("id"), col("y.label").as("label"))
-      val next = Mat.materializeIter(
-        labels.union(viaNeighbors).union(viaParent)
+      val next = Mat.materializeIterReleasable(
+        labels.df.union(viaNeighbors).union(viaParent)
           .groupBy(col("id")).agg(min(col("label")).as("label")))
-      // convergence check forces `next`; superseded rounds age out of
-      // the block store by LRU (label tables are narrow)
-      changed = next.as("n").join(labels.as("o"), "id")
+      // convergence check forces `next`, then the superseded round's
+      // cache is released eagerly — over 50 rounds the old label
+      // tables would otherwise accumulate in the CacheManager
+      changed = next.df.as("n").join(labels.df.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
+      labels.release()
       labels = next
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val out = labels.df.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    edges.unpersist(blocking = false) // rounds are done; result lineage survives
+    out
   }
 
   /** DuckDB oracle for [[connectedComponents]] over the pairs produced

@@ -48,4 +48,29 @@ object Mat {
     val p = materialize(df)
     p.sparkSession.createDataFrame(p.rdd, p.schema)
   }
+
+  /** A materialized frame plus an explicit release of its cached
+    * blocks. Iterative algorithms MUST use this for per-round
+    * intermediates: unlike GC'd localCheckpoint RDDs, persisted
+    * DataFrames stay registered in Spark's CacheManager until
+    * unpersisted — over many rounds the superseded tables fill local
+    * disk (disk-spilled blocks are not LRU-evicted) and the
+    * CacheManager's linear plan matching slows every later query.
+    * Releasing a superseded round is safe mid-algorithm: the next
+    * round's rebased RDD keeps lineage through it, so a lost block
+    * recomputes down the (unpersisted) chain instead of failing. */
+  final case class Handle(df: DataFrame, release: () => Unit)
+
+  /** [[materializeIter]] with an explicit release handle. */
+  def materializeIterReleasable(df: DataFrame): Handle =
+    df.sparkSession.conf.getOption(ConfKey) match {
+      case Some("localCheckpoint") =>
+        // blocks are reclaimed by the ContextCleaner once the RDD is
+        // unreachable; nothing to do eagerly
+        Handle(df.localCheckpoint(true), () => ())
+      case _ =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        Handle(p.sparkSession.createDataFrame(p.rdd, p.schema),
+          () => { p.unpersist(blocking = false); () })
+    }
 }
