@@ -342,6 +342,26 @@ object SparkEntry {
       graft.operators.Similarity.ivfTopKWith(emb, col("vec_id") % 100 === 0, k = 5, cent, nProbe = 4)
     }),
 
+    // dedup-on-ingest: near-dups of each INCOMING doc among the
+    // EXISTING corpus — band-join is incoming×existing only, so
+    // per-batch cost scales with the batch, not the corpus (the
+    // existing band table is a precomputed LSH index at scale)
+    "q40_incremental_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.incrementalNearDup(
+        t(s, dir, "documents"), col("doc_id") % 5 === 0,
+        n = 3, k = 12, bands = 4, threshold = 0.5)),
+
+    // greedy contiguous sequence packing ("sample packing"): documents
+    // binned into fixed-token-budget training sequences, window
+    // PARTITIONED by source (no global window)
+    "q41_sequence_pack" -> ((s, dir) =>
+      graft.operators.TextAnalysis.packSequences(t(s, dir, "documents"), seqLen = 512)),
+
+    // corpus vocabulary: exact top-k tokens by frequency
+    // (partial-agg combine + TakeOrderedAndProject — no global sort)
+    "q42_vocab_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 50)),
+
     // §1.4 cell-level (multi-version) CDC rendering
     // (MultiVerModeRecordSender analog): each row change explodes into
     // per-cell U rows; 'error' events demo the DR (row delete) path
@@ -607,6 +627,16 @@ object SparkEntry {
         |WHERE column_value IS NOT NULL
         |UNION ALL
         |SELECT user_id, NULL, NULL, 'DR', event_id
-        |FROM events WHERE event_type = 'error'""".stripMargin
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q40_incremental_neardup" ->
+      graft.operators.Dedup.incrementalNearDupSql(
+        "documents", "doc_id % 5 = 0", n = 3, k = 12, bands = 4, threshold = 0.5),
+
+    "q41_sequence_pack" ->
+      graft.operators.TextAnalysis.packSequencesSql("documents", seqLen = 512),
+
+    "q42_vocab_topk" ->
+      graft.operators.TextAnalysis.vocabTopKSql("documents", k = 50)
   )
 }

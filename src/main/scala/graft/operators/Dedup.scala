@@ -100,23 +100,24 @@ object Dedup {
     * similarity) and any true pair inside it still has bands-1 other
     * chances to collide. The count is a window over the band key (same
     * shuffle key as the join — no extra exchange). */
-  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame = {
+  /** The banded-signature table shared by the self-join pair finder
+    * and the incremental (batch-vs-corpus) variant: (doc_id, band_idx,
+    * band_key) with mega-buckets already dropped, materialized
+    * (persist-with-lineage by default — see [[Mat]]). Narrow by
+    * construction: text never ships through the downstream join
+    * shuffles. Two-step projection keeps the per-shingle md5 in its
+    * own Project (evaluated once, not k times — CollapseProject won't
+    * duplicate non-cheap exprs). repartition first: a single-file
+    * input would otherwise run the whole (per-row-expensive) shingle
+    * pipeline in ONE task. The signature comes from the native
+    * codegen'd graft_minhash when the extension is present (one
+    * generated call per row), else from the staged portable
+    * projections (words -> shingles -> hashes in separate Projects so
+    * each interpreted HOF evaluates once) — value-identical. */
+  private def bandedOf(docs: DataFrame, n: Int, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    // narrow band table: (doc_id, band_idx, band_key) only — never ship
-    // text through the self-join shuffle. Two-step projection keeps the
-    // per-shingle md5 in its own Project (evaluated once, not k times —
-    // CollapseProject won't duplicate non-cheap exprs).
-    // repartition first: a single-file input would otherwise run the
-    // whole (per-row-expensive) shingle pipeline in ONE task. The
-    // signature comes from the native codegen'd graft_minhash when the
-    // extension is present (one generated call per row), else from the
-    // staged portable projections (words -> shingles -> hashes in
-    // separate Projects so each interpreted HOF evaluates once) —
-    // value-identical either way. The tiny band table is materialized
-    // so the self-join doesn't re-derive it per side
-    // (persist-with-lineage by default — see [[Mat]]).
     val base = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
     val sigDf =
       if (nativeOk(docs, "graft_minhash"))
@@ -127,7 +128,7 @@ object Dedup {
         .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
         .select(col("doc_id"), transform(col("sh"), s => Portable.hash32(s)).as("hs"))
         .select(col("doc_id"), sigFromHashes(col("hs"), k).as("sig"))
-    val banded = Mat.materialize(sigDf
+    Mat.materialize(sigDf
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band_idx"),
@@ -138,7 +139,11 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n"))
+  }
 
+  def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val banded = bandedOf(docs, n, k, bands, maxBucketSize)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
@@ -157,11 +162,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup — the dedup-on-ingest shape: for each
+    * incoming document (rows matching `incomingPred`), find its
+    * near-duplicates among the EXISTING corpus (the complement). This
+    * is the query a training-data pipeline runs per ingest batch ("is
+    * this new crawl page a near-copy of something we already have?"):
+    * candidates come from an equi-join of the incoming band rows
+    * against the existing band rows — never incoming×incoming or
+    * existing×existing, so per-batch cost scales with the BATCH, not
+    * the corpus. At production scale the existing side's band table is
+    * a PRECOMPUTED, persisted LSH index (exactly [[bandedOf]]'s output
+    * bucketed by band key on disk) that each batch joins against and
+    * appends to; here both sides derive from one corpus frame so the
+    * result is oracle-checkable. The mega-bucket cap is computed over
+    * the FULL occupancy (incoming + existing), matching what the
+    * index-maintenance path sees. Output: (doc_id, dup_of, jaccard) —
+    * one row per verified (incoming, existing) near-dup pair. */
+  def incrementalNearDup(docs: DataFrame, incomingPred: Column, n: Int, k: Int,
+      bands: Int, threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+    val banded = bandedOf(docs, n, k, bands, maxBucketSize)
+    // narrow (doc_id, inc) side table: the predicate may reference any
+    // docs column (text, source, ...), which the band table deliberately
+    // no longer carries
+    val flags = docs.select(col("doc_id"), incomingPred.as("inc"))
+    val flagged = banded.join(flags, "doc_id")
+    val cand = flagged.filter(col("inc")).as("a")
+      .join(flagged.filter(!col("inc")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+    val grams = Mat.materialize(gramsOf(docs, n))
+    cand.as("c").join(grams.as("ga"), col("c.doc_id") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("c.dup_of") === col("gb.doc_id"))
+      .withColumn("jaccard", round(jaccard(col("ga.grams"), col("gb.grams")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"), col("jaccard"))
+  }
+
   /** The [[minhashLshPairs]] computation as a DuckDB CTE chain ending in
     * `mhpairs(doc_a, doc_b, jaccard)` — shared by the q14 oracle and the
     * cluster-resolution oracle that consumes the same pairs. */
-  def minhashPairsCtesSql(tbl: String, n: Int, k: Int, bands: Int, threshold: Double,
-      maxBucketSize: Int = 1000): String = {
+  /** The sh/sig/banded CTE prefix shared by the self-join and
+    * incremental oracle formulations (mirrors [[bandedOf]]). */
+  private def bandedCtesSql(tbl: String, n: Int, k: Int, bands: Int,
+      maxBucketSize: Int): String = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val shN = Portable.shinglesSql("text", n)
@@ -178,7 +223,12 @@ object Dedup {
        |banded AS (
        |  SELECT doc_id, band_idx, band_key FROM (
        |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n FROM banded0)
-       |  WHERE bucket_n <= $maxBucketSize),
+       |  WHERE bucket_n <= $maxBucketSize)""".stripMargin
+  }
+
+  def minhashPairsCtesSql(tbl: String, n: Int, k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int = 1000): String = {
+    s"""${bandedCtesSql(tbl, n, k, bands, maxBucketSize)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
        |  FROM banded a JOIN banded b2
@@ -192,6 +242,27 @@ object Dedup {
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** DuckDB oracle for [[incrementalNearDup]]: same banded prefix, but
+    * candidates join incoming band rows (per `incomingSql`, a boolean
+    * SQL expression over `$tbl` columns) against existing ones. */
+  def incrementalNearDupSql(tbl: String, incomingSql: String, n: Int, k: Int,
+      bands: Int, threshold: Double, maxBucketSize: Int = 1000): String =
+    s"""WITH ${bandedCtesSql(tbl, n, k, bands, maxBucketSize)},
+       |flags AS (
+       |  SELECT doc_id, ($incomingSql) AS inc FROM $tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS dup_of
+       |  FROM banded a JOIN flags fa ON fa.doc_id = a.doc_id AND fa.inc
+       |  JOIN banded b2 ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+       |  JOIN flags fb ON fb.doc_id = b2.doc_id AND NOT fb.inc)
+       |SELECT doc_id, dup_of, jaccard FROM (
+       |  SELECT c.doc_id, c.dup_of,
+       |    round(len(list_distinct(list_intersect(ga.grams, gb.grams)))::DOUBLE
+       |      / (len(ga.grams) + len(gb.grams)
+       |         - len(list_distinct(list_intersect(ga.grams, gb.grams)))), 6) AS jaccard
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_id JOIN sh gb ON gb.doc_id = c.dup_of)
+       |WHERE jaccard >= $threshold""".stripMargin
 
   /** Near-dup CLUSTER RESOLUTION — the step after pair generation that a
     * real dedup pipeline actually runs: near-dup pairs are transitive in

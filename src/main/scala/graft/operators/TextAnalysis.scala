@@ -120,4 +120,65 @@ object TextAnalysis {
       .withColumn("mean_word_len",
         round((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"), 6))
   }
+
+  /** Greedy contiguous SEQUENCE PACKING — the training-data step that
+    * bins documents into fixed-budget training sequences ("sample
+    * packing"): within each `source` partition, documents are laid out
+    * in doc_id order and a document joins the pack its first token
+    * lands in (`pack_id = start_offset DIV seqLen` — integer division,
+    * exact at any offset; a doc straddling a boundary stays in the pack
+    * it starts in, the overflow-to-next policy). Output is the packing
+    * manifest: (source, pack_id, n_docs, pack_tokens).
+    *
+    * Scale shape: ONE window (cumulative sum) PARTITIONED by source +
+    * one partial-aggregated groupBy — no global window (`WindowExec: No
+    * Partition Defined` never appears). At 100 TB the partition key is
+    * whatever the ingest shards by (source, day, shard id); each
+    * partition sorts independently, and the rollup rides the same
+    * exchange. Token counts use the BPE-ish regex (portable — same
+    * semantics in the DuckDB oracle). */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_off DIV $seqLen"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+  }
+
+  /** DuckDB oracle for [[packSequences]] (`//` = integer division). */
+  def packSequencesSql(tbl: String, seqLen: Int): String =
+    s"""SELECT source, pack_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS pack_tokens
+       |FROM (
+       |  SELECT source, coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $seqLen AS pack_id, n_tok
+       |  FROM (SELECT doc_id, source,
+       |      len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS n_tok FROM $tbl))
+       |GROUP BY source, pack_id""".stripMargin
+
+  /** Corpus VOCABULARY top-k: most frequent lower-cased BPE-ish tokens
+    * with exact counts. Plan shape: explode -> hash-aggregate with
+    * map-side partial counts (the per-token explosion never crosses the
+    * wire un-combined) -> TakeOrderedAndProject (k-bounded per
+    * partition, k-bounded merge on the driver — no global sort
+    * materialization). Ties at the boundary break by token ascending,
+    * so the result SET is deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** DuckDB oracle for [[vocabTopK]]. */
+  def vocabTopKSql(tbl: String, k: Int): String =
+    s"""SELECT token, count(*)::BIGINT AS cnt
+       |FROM (SELECT unnest(regexp_extract_all(lower(text), '$BpePattern')) AS token FROM $tbl)
+       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT $k""".stripMargin
 }

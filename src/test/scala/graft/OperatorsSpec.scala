@@ -46,6 +46,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("incremental near-dup: only incoming-vs-existing pairs, consistent with the self-join") {
+    val incoming = col("doc_id") % 5 === 0
+    val inc = Dedup.incrementalNearDup(docs, incoming, n = 3, k = 12, bands = 4,
+      threshold = 0.5).collect()
+    assert(inc.forall(r => r.getLong(0) % 5 == 0 && r.getLong(1) % 5 != 0),
+      "pair with a non-incoming doc_id or an incoming dup_of")
+    // every incremental pair is also found by the full self-join (same
+    // bands, same cap over the same occupancy), as an unordered pair
+    val full = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.forall { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      full.contains((math.min(a, b), math.max(a, b)))
+    })
+  }
+
+  test("sequence packing: token-conserving, per-source, overflow-to-next policy") {
+    val seqLen = 256
+    val manifest = TextAnalysis.packSequences(docs, seqLen).collect()
+    val totalFromPacks = manifest.map(_.getLong(3)).sum
+    val docsFromPacks = manifest.map(_.getLong(2)).sum
+    val nTok = docs.select(sum(size(regexp_extract_all(col("text"),
+      lit(TextAnalysis.BpePattern), lit(0))).cast("long"))).head.getLong(0)
+    assert(totalFromPacks == nTok, "packing must conserve tokens")
+    assert(docsFromPacks == docs.count(), "packing must conserve documents")
+    // every source starts at pack 0, and (source, pack_id) is unique
+    val bySource = manifest.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.exists(_.getLong(1) == 0L)))
+    assert(manifest.map(r => (r.getString(0), r.getLong(1))).distinct.length == manifest.length)
+  }
+
+  test("vocab top-k: k-bounded, count-descending, counts exact") {
+    val top = TextAnalysis.vocabTopK(docs, k = 10).collect()
+    assert(top.length <= 10)
+    assert(top.map(_.getLong(1)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // spot-check the head count against a direct aggregation
+    val head = top.head
+    val direct = docs.select(explode(regexp_extract_all(lower(col("text")),
+      lit(TextAnalysis.BpePattern), lit(0))).as("t"))
+      .filter(col("t") === head.getString(0)).count()
+    assert(direct == head.getLong(1))
+    // the plan must be a bounded top-k, not a global sort
+    val plan = TextAnalysis.vocabTopK(docs, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
   test("simhash: identical docs share signatures; 64 bits are actually populated") {
     import spark.implicits._
     val two = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
