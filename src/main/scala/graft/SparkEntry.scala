@@ -362,6 +362,31 @@ object SparkEntry {
     "q42_vocab_topk" -> ((s, dir) =>
       graft.operators.TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 50)),
 
+    // deterministic stratified corpus mixing (hash-threshold Bernoulli —
+    // shuffle-free, reproducible subsets, loss weights attached)
+    "q43_corpus_mix" -> ((s, dir) =>
+      graft.operators.TextAnalysis.mixSample(t(s, dir, "documents"),
+        rates = Map("src0" -> 500000, "src1" -> 50000), defaultPpm = 200000)),
+
+    // test-set decontamination: training docs sharing any word n-gram
+    // with the held-out eval slice (tiny eval gram set -> equi-join probe)
+    "q44_decontaminate" -> ((s, dir) =>
+      graft.operators.Dedup.decontaminate(t(s, dir, "documents"),
+        col("doc_id") % 97 === 0, n = 3)),
+
+    // dedup-on-ingest against a PERSISTED LSH index (build once from the
+    // existing corpus, probe the batch against it — the production form
+    // of q40; value-equal to the single-frame variant when no bucket cap
+    // engages, which is what the shared oracle asserts)
+    "q45_lsh_index_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+      graft.operators.LshIndex.build(docs.filter(col("doc_id") % 5 =!= 0), path,
+        n = 3, k = 12, bands = 4)
+      graft.operators.LshIndex.probe(docs.filter(col("doc_id") % 5 === 0), path,
+        threshold = 0.5, maxBucketSize = Int.MaxValue)
+    }),
+
     // §1.4 cell-level (multi-version) CDC rendering
     // (MultiVerModeRecordSender analog): each row change explodes into
     // per-cell U rows; 'error' events demo the DR (row delete) path
@@ -637,6 +662,18 @@ object SparkEntry {
       graft.operators.TextAnalysis.packSequencesSql("documents", seqLen = 512),
 
     "q42_vocab_topk" ->
-      graft.operators.TextAnalysis.vocabTopKSql("documents", k = 50)
+      graft.operators.TextAnalysis.vocabTopKSql("documents", k = 50),
+
+    "q43_corpus_mix" ->
+      graft.operators.TextAnalysis.mixSampleSql("documents",
+        rates = Map("src0" -> 500000, "src1" -> 50000), defaultPpm = 200000),
+
+    "q44_decontaminate" ->
+      graft.operators.Dedup.decontaminateSql("documents", "doc_id % 97 = 0", n = 3),
+
+    "q45_lsh_index_probe" ->
+      graft.operators.Dedup.incrementalNearDupSql(
+        "documents", "doc_id % 5 = 0", n = 3, k = 12, bands = 4, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
   )
 }

@@ -114,8 +114,7 @@ object Dedup {
     * generated call per row), else from the staged portable
     * projections (words -> shingles -> hashes in separate Projects so
     * each interpreted HOF evaluates once) — value-identical. */
-  private def bandedOf(docs: DataFrame, n: Int, k: Int, bands: Int,
-      maxBucketSize: Int): DataFrame = {
+  private[operators] def bandedRaw(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val base = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
@@ -128,18 +127,29 @@ object Dedup {
         .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
         .select(col("doc_id"), transform(col("sh"), s => Portable.hash32(s)).as("hs"))
         .select(col("doc_id"), sigFromHashes(col("hs"), k).as("sig"))
-    Mat.materialize(sigDf
+    sigDf
       .select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band_idx"),
             md5(concat_ws("|", slice(col("sig"), b * r + 1, r))).as("band_key"))
         }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Drop mega-buckets above `maxBucketSize` (count window on the same
+    * shuffle key as the downstream join — no extra exchange); skipped
+    * entirely when the cap is Int.MaxValue. */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) banded
+    else banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n"))
-  }
+      .drop("bucket_n")
+
+  private def bandedOf(docs: DataFrame, n: Int, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame =
+    Mat.materialize(capBuckets(bandedRaw(docs, n, k, bands), maxBucketSize))
 
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double,
       maxBucketSize: Int = 1000): DataFrame = {
@@ -264,6 +274,44 @@ object Dedup {
        |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_id JOIN sh gb ON gb.doc_id = c.dup_of)
        |WHERE jaccard >= $threshold""".stripMargin
 
+  /** TEST-SET DECONTAMINATION — flag training documents sharing any
+    * word n-gram with a held-out evaluation set (rows matching
+    * `evalPred`): the standard benchmark-leakage sweep a training-data
+    * pipeline runs before every release. Output: one row per
+    * contaminated training doc with its distinct-overlapping-gram count
+    * — (doc_id, n_hits).
+    *
+    * Scale shape: the eval side collapses to a DISTINCT gram set that
+    * is tiny relative to the corpus (benchmarks are KBs, corpora are
+    * TBs), so the probe is a broadcast/equi-join of training grams
+    * against it — work ∝ corpus gram count, never corpus × eval; the
+    * count rides a map-side-combined groupBy on doc_id. `n` is the
+    * usual knob (8-13-grams in production; the structure is
+    * n-independent). Grams come from the shared [[gramsOf]] (native
+    * codegen'd expression when registered). */
+  def decontaminate(docs: DataFrame, evalPred: Column, n: Int): DataFrame = {
+    val flags = docs.select(col("doc_id"), evalPred.as("ev"))
+    val exploded = gramsOf(docs, n).join(flags, "doc_id")
+      .select(col("doc_id"), col("ev"), explode(col("grams")).as("gram"))
+    val evalGrams = exploded.filter(col("ev")).select(col("gram")).distinct()
+    exploded.filter(!col("ev")).as("t")
+      .join(evalGrams.as("e"), col("t.gram") === col("e.gram"))
+      .groupBy(col("t.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** DuckDB oracle for [[decontaminate]] (per-doc grams are distinct,
+    * so plain count(*) after the gram join counts distinct hits). */
+  def decontaminateSql(tbl: String, evalSql: String, n: Int): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(${Portable.shinglesSql("text", n)}) AS grams FROM $tbl),
+       |flags AS (SELECT doc_id, ($evalSql) AS ev FROM $tbl),
+       |ex AS (SELECT s.doc_id, f.ev, unnest(s.grams) AS gram
+       |  FROM sh s JOIN flags f ON s.doc_id = f.doc_id),
+       |eg AS (SELECT DISTINCT gram FROM ex WHERE ev)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_hits
+       |FROM ex t JOIN eg ON t.gram = eg.gram WHERE NOT t.ev GROUP BY t.doc_id""".stripMargin
+
   /** Near-dup CLUSTER RESOLUTION — the step after pair generation that a
     * real dedup pipeline actually runs: near-dup pairs are transitive in
     * intent (A~B and B~C must dedup A, B, C together), so pairs fold
@@ -347,7 +395,7 @@ object Dedup {
   /** (doc_id, grams) — distinct word n-gram shingles per doc, via the
     * native graft_shingles when available (one generated call per row)
     * else the staged portable projections; value-identical. */
-  private def gramsOf(docs: DataFrame, n: Int): DataFrame = {
+  private[operators] def gramsOf(docs: DataFrame, n: Int): DataFrame = {
     val base = docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
     if (nativeOk(docs, "graft_shingles"))
       base.select(col("doc_id"),

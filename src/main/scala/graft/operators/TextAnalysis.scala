@@ -181,4 +181,42 @@ object TextAnalysis {
     s"""SELECT token, count(*)::BIGINT AS cnt
        |FROM (SELECT unnest(regexp_extract_all(lower(text), '$BpePattern')) AS token FROM $tbl)
        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT $k""".stripMargin
+
+  /** Deterministic stratified CORPUS MIXING — the "data mixture" step
+    * that reweights sources before training (upsample wiki, downsample
+    * crawl): each document is kept iff `hash32('mix#'||source||':'||
+    * doc_id) mod 10^6 < ppm(source)`, a per-parts-per-million rate from
+    * `rates` (sources absent from the map use `defaultPpm`). Kept rows
+    * carry `weight = 10^6 / ppm` for loss reweighting.
+    *
+    * Scale shape: hash-threshold (deterministic Bernoulli) sampling is
+    * SHUFFLE-FREE — one codegen'd projection + filter fused into the
+    * scan; no per-source count, no window, no sort, so it runs at scan
+    * speed on 100 TB and the decision for a given doc is stable across
+    * reruns, engines, and cluster sizes (reproducible subsets — the
+    * property quota/reservoir sampling loses). Exact integer threshold
+    * compare; the weight division is IEEE-exact in both engines. */
+  def mixSample(docs: DataFrame, rates: Map[String, Int], defaultPpm: Int): DataFrame = {
+    val ppm = rates.foldLeft(lit(defaultPpm)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("source"), ppm.as("ppm"),
+        (Portable.hash32(concat(lit("mix#"), col("source"), lit(":"),
+          col("doc_id").cast("string"))) % 1000000L).as("draw"))
+      .filter(col("draw") < col("ppm"))
+      .select(col("doc_id"), col("source"),
+        round(lit(1000000.0) / col("ppm"), 6).as("weight"))
+  }
+
+  /** DuckDB oracle for [[mixSample]]. */
+  def mixSampleSql(tbl: String, rates: Map[String, Int], defaultPpm: Int): String = {
+    val ppmCase = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("(CASE ", " ", s" ELSE $defaultPpm END)")
+    val draw = Portable.hash32Sql("'mix#' || source || ':' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source, round(1000000.0 / ppm, 6) AS weight FROM (
+       |  SELECT doc_id, source, $ppmCase AS ppm, $draw % 1000000 AS draw FROM $tbl)
+       |WHERE draw < ppm""".stripMargin
+  }
 }

@@ -92,6 +92,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("LSH index: probe matches the single-frame incremental variant; append extends it") {
+    import graft.operators.LshIndex
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val incoming = col("doc_id") % 5 === 0
+    LshIndex.build(docs.filter(!incoming), path, n = 3, k = 12, bands = 4)
+    val viaIndex = LshIndex.probe(docs.filter(incoming), path, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.incrementalNearDup(docs, incoming, n = 3, k = 12, bands = 4,
+      threshold = 0.5, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct,
+      s"index probe must equal the single-frame variant; only-in-index=${viaIndex -- direct}, " +
+        s"only-in-direct=${direct -- viaIndex}")
+    // after appending the batch, a re-probed batch doc finds ITSELF at jaccard 1.0
+    LshIndex.append(docs.filter(incoming), path)
+    val someId = docs.filter(incoming).select("doc_id").head().getLong(0)
+    val self = LshIndex.probe(docs.filter(col("doc_id") === someId), path, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.contains((someId, someId, 1.0)), s"appended doc must match itself: ${self.toSeq}")
+  }
+
+  test("corpus mix: deterministic, stratified, shuffle-free, correct weights") {
+    val rates = Map("src0" -> 900000, "src1" -> 50000)
+    val run = () => TextAnalysis.mixSample(docs, rates, defaultPpm = 200000).collect()
+    val (a, b) = (run(), run())
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq,
+      "hash-threshold sampling must be reproducible")
+    val bySrc = a.groupBy(_.getString(1))
+    assert(bySrc.getOrElse("src0", Array.empty).length >
+      bySrc.getOrElse("src1", Array.empty).length, "src0 at 90% must beat src1 at 5%")
+    assert(a.forall { r =>
+      val ppm = rates.getOrElse(r.getString(1), 200000)
+      math.abs(r.getDouble(2) - 1000000.0 / ppm) < 1e-6
+    }, "weight must be 1e6/ppm (6-decimal rounded)")
+    val plan = TextAnalysis.mixSample(docs, rates, 200000).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("decontaminate: only non-eval docs flagged, hit counts match direct intersection") {
+    val evalPred = col("doc_id") % 7 === 0
+    val hits = Dedup.decontaminate(docs, evalPred, n = 3).collect()
+    assert(hits.nonEmpty, "fixture should produce at least one overlap at n=3")
+    assert(hits.forall(r => r.getLong(0) % 7 != 0), "eval docs must never be flagged")
+    assert(hits.forall(_.getLong(1) >= 1))
+    // direct recomputation for the most-hit doc
+    val top = hits.maxBy(_.getLong(1))
+    val gramsOf = (pred: org.apache.spark.sql.Column) => docs.filter(pred)
+      .select(explode(array_distinct(Portable.shingles(col("text"), 3))).as("g"))
+      .collect().map(_.getString(0)).toSet
+    val evalGrams = gramsOf(evalPred)
+    val docGrams = gramsOf(col("doc_id") === top.getLong(0))
+    assert(docGrams.intersect(evalGrams).size.toLong == top.getLong(1))
+  }
+
   test("simhash: identical docs share signatures; 64 bits are actually populated") {
     import spark.implicits._
     val two = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
