@@ -71,14 +71,11 @@ object Main {
         passed += s"transformers: ${spec.transformers.size} resolved " +
           s"(output schema: ${outSchema.fieldNames.mkString(", ")})"
       case None =>
-        spec.transformers.filter(_.name == "custom").foreach { t =>
-          val cls = t.params.getOrElse("class",
-            throw new IllegalArgumentException("custom transformer needs a 'class' parameter"))
-          val inst = Class.forName(cls).getDeclaredConstructor().newInstance()
-          require(inst.isInstanceOf[graft.model.RecordsTransformer],
-            s"$cls does not implement graft.model.RecordsTransformer")
-        }
-        passed += s"transformers: ${spec.transformers.size} parsed, custom classes loadable " +
+        // schema-independent checks still run: name dispatch, required
+        // params, numeric parses, custom-class loadability — only the
+        // column-reference analysis needs the (unavailable) schema
+        spec.transformers.foreach(_.preValidate())
+        passed += s"transformers: ${spec.transformers.size} pre-validated " +
           "(expression analysis skipped: jdbc source schema unknown without a live connection)"
     }
     spec.fileWriter.foreach { fw =>

@@ -648,11 +648,11 @@ object SparkEntry {
         |    {'column_name': 'event_type', 'column_value': event_type::VARCHAR},
         |    {'column_name': 'value_e4',   'column_value': CAST(floor(value * 10000 + 0.5) AS BIGINT)::VARCHAR},
         |    {'column_name': 'props',      'column_value': props::VARCHAR}]) AS t(c)
-        |  WHERE NOT (event_type = 'error'))
+        |  WHERE NOT coalesce(event_type = 'error', false))
         |WHERE column_value IS NOT NULL
         |UNION ALL
         |SELECT user_id, NULL, NULL, 'DR', event_id
-        |FROM events WHERE event_type = 'error'""".stripMargin,
+        |FROM events WHERE coalesce(event_type = 'error', false)""".stripMargin,
 
     "q40_incremental_neardup" ->
       graft.operators.Dedup.incrementalNearDupSql(

@@ -34,9 +34,22 @@ object NativeText {
     java.security.MessageDigest.getInstance("MD5"))
 
   /** Whitespace words of the trimmed text — `split(trim(text), '\\s+')`
-    * semantics (Java split with limit -1, matching Spark's `split`). */
+    * semantics (Java split with limit -1, matching Spark's `split`).
+    * NOT `String.trim`: Java trim strips every char <= 0x20 (\n, \t,
+    * \r, ...) while Spark's and DuckDB's `trim` strip the SPACE
+    * character only — a doc with a leading newline would otherwise
+    * produce different words (and so different shingles/signatures)
+    * on the native path than the portable/oracle one. */
+  private def spaceTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
   private def words(text: String): Array[String] =
-    text.trim.split("\\s+", -1)
+    spaceTrim(text).split("\\s+", -1)
 
   /** Word n-gram shingles; docs of <= n words yield one whole-text
     * shingle (exact [[Portable.shinglesFromWords]] semantics). */

@@ -160,6 +160,30 @@ final case class TransformerSpec(
 
   import graft.functions.Transformers._
 
+  /** Schema-INDEPENDENT validation — everything [[apply]] would reject
+    * that does not require knowing the input columns: name dispatch,
+    * required-parameter presence, numeric parameter parse, custom-class
+    * loadability. preCheck calls this when the source schema is
+    * unavailable without a live connection (jdbc), so a dry run still
+    * catches `dx_bogus` or a dx_substr missing `start` up front. */
+  def preValidate(): Unit = name match {
+    case "custom" =>
+      val cls = params.getOrElse("class",
+        throw new IllegalArgumentException("custom transformer needs a 'class' parameter"))
+      val inst =
+        try Class.forName(cls).getDeclaredConstructor().newInstance()
+        catch { case e: ReflectiveOperationException =>
+          throw new IllegalArgumentException(s"cannot instantiate custom transformer '$cls'", e) }
+      require(inst.isInstanceOf[RecordsTransformer],
+        s"$cls does not implement graft.model.RecordsTransformer")
+    case "dx_expr" => params("expr"): Unit
+    case "dx_substr" => params("start").toInt; params("length").toInt; ()
+    case "dx_pad" => params("padTo"); params("length").toInt; params("pad"); ()
+    case "dx_replace" => params("start").toInt; params("length").toInt; params("replace"); ()
+    case "dx_filter" => params("op"); params("value"); ()
+    case other => throw new IllegalArgumentException(s"unknown transformer '$other'")
+  }
+
   def apply(df: DataFrame): DataFrame = name match {
     // pluggable multi-record transformer (ComplexTransformer SPI
     // analog): class name from the spec, resolved reflectively to a

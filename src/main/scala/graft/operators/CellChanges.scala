@@ -46,13 +46,17 @@ object CellChanges {
     val cellArr = array(cells.map { case (n, c) =>
       struct(lit(n).as("column_name"), c.cast("string").as("column_value"))
     }: _*)
-    val upserts = df.filter(!deletePred)
+    // a NULL predicate value must not drop the row from BOTH branches
+    // (filter(p) and filter(!p) each exclude NULL): treat unknown as
+    // not-a-delete, so the change still renders as an upsert
+    val isDelete = coalesce(deletePred, lit(false))
+    val upserts = df.filter(!isDelete)
       .select(pk.as("pk"), version.as("version"), explode(cellArr).as("cell"))
       .filter(col("cell.column_value").isNotNull)
       .select(col("pk"), col("cell.column_name").as("column_name"),
         col("cell.column_value").as("column_value"),
         lit("U").as("op_type"), col("version"))
-    val deletes = df.filter(deletePred)
+    val deletes = df.filter(isDelete)
       .select(pk.as("pk"), lit(null).cast("string").as("column_name"),
         lit(null).cast("string").as("column_value"),
         lit("DR").as("op_type"), version.as("version"))

@@ -291,8 +291,10 @@ object Dedup {
     * codegen'd expression when registered). */
   def decontaminate(docs: DataFrame, evalPred: Column, n: Int): DataFrame = {
     val flags = docs.select(col("doc_id"), evalPred.as("ev"))
-    val exploded = gramsOf(docs, n).join(flags, "doc_id")
-      .select(col("doc_id"), col("ev"), explode(col("grams")).as("gram"))
+    // referenced twice (eval-gram set + training probe) -> materialize
+    // so the per-row-expensive shingle pipeline runs once, not per side
+    val exploded = Mat.materialize(gramsOf(docs, n).join(flags, "doc_id")
+      .select(col("doc_id"), col("ev"), explode(col("grams")).as("gram")))
     val evalGrams = exploded.filter(col("ev")).select(col("gram")).distinct()
     exploded.filter(!col("ev")).as("t")
       .join(evalGrams.as("e"), col("t.gram") === col("e.gram"))

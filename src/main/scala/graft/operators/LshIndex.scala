@@ -77,17 +77,26 @@ object LshIndex {
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = batch.sparkSession
     val m = readMeta(spark, path)
+    val docs = batch.dropDuplicates("doc_id")
     val idxBands = spark.read.parquet(s"$path/bands")
-    val bigBuckets = idxBands.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") > maxBucketSize)
-      .select(col("band_idx"), col("band_key"))
-    val probeBands = Dedup.bandedRaw(batch.dropDuplicates("doc_id"), m.n, m.k, m.bands)
+    // cap on index-side occupancy, skipped entirely at Int.MaxValue
+    // (same short-circuit as Dedup.capBuckets — no point scanning the
+    // whole index for an aggregate that can never drop a key)
+    val idxCapped =
+      if (maxBucketSize == Int.MaxValue) idxBands
+      else {
+        val bigBuckets = idxBands.groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") > maxBucketSize)
+          .select(col("band_idx"), col("band_key"))
+        idxBands.join(bigBuckets, Seq("band_idx", "band_key"), "left_anti")
+      }
+    val probeBands = Dedup.bandedRaw(docs, m.n, m.k, m.bands)
     val cand = probeBands.as("a")
-      .join(idxBands.join(bigBuckets, Seq("band_idx", "band_key"), "left_anti").as("b"),
+      .join(idxCapped.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
       .distinct()
-    val batchGrams = Mat.materialize(Dedup.gramsOf(batch, m.n))
+    val batchGrams = Mat.materialize(Dedup.gramsOf(docs, m.n))
     val idxGrams = spark.read.parquet(s"$path/grams")
     cand.as("c").join(batchGrams.as("ga"), col("c.doc_id") === col("ga.doc_id"))
       .join(idxGrams.as("gb"), col("c.dup_of") === col("gb.doc_id"))

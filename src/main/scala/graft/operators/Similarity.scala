@@ -313,10 +313,18 @@ object Similarity {
     * deterministic). */
   def kmeansCentroids(emb: DataFrame, cells: Int, dim: Int, iters: Int = 5,
       sampleFraction: Double = 1.0): Array[Array[Double]] = {
-    val Scale = 1L << 20
     val vecs0 = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val vecs = Mat.materialize(
       if (sampleFraction >= 1.0) vecs0 else vecs0.sample(withReplacement = false, sampleFraction, seed = 7L))
+    try kmeansLoop(vecs, cells, dim, iters)
+    // the result is a driver-side array — the cached sample serves
+    // nothing after return, so release it instead of leaking one
+    // persisted table per call
+    finally vecs.unpersist()
+  }
+
+  private def kmeansLoop(vecs: DataFrame, cells: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+    val Scale = 1L << 20
     var cent = centroidWeights(cells, dim).map(normalize)
     var it = 0
     while (it < iters) {
@@ -325,8 +333,7 @@ object Similarity {
       // the struct-field extraction breaks alias resolution inside the
       // argmax struct (fields degrade to col1/col2)
       val assigned = vecs
-        .select(element_at(array_sort(centroidDotStructsW(col("emb"), cent)), 1)
-          .getField("cid").as("cell"), col("emb"))
+        .select(assignCell(col("emb"), cent).as("cell"), col("emb"))
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
       val rows = assigned.groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("x") * Scale).cast("long")).as("s"), count(lit(1)).as("n"))
@@ -360,7 +367,15 @@ object Similarity {
     * centroids would come from a sampled k-means; fixed deterministic
     * directions keep the oracle value-checkable and the plan identical. */
   def ivfCell(v: Column, cells: Int, dim: Int): Column =
-    element_at(array_sort(centroidDotStructs(v, cells, dim)), 1).getField("cid")
+    assignCell(v, centroidWeights(cells, dim))
+
+  /** The ONE encoding of the cell-assignment convention (negated-dot
+    * ascending sort, 1-based element_at, cid tiebreak) shared by
+    * [[ivfCell]], [[ivfTopKWith]]'s postings, and the k-means
+    * assignment step — postings and probes must agree on it or recall
+    * silently drops. */
+  private[operators] def assignCell(v: Column, centroids: Array[Array[Double]]): Column =
+    element_at(array_sort(centroidDotStructsW(v, centroids)), 1).getField("cid")
 
   /** DuckDB SQL list literal of the `cells` centroid dot products over
     * DOUBLE[] expression `e`. */
@@ -397,8 +412,7 @@ object Similarity {
     val base = withNorm(emb)
     // narrow postings: (vec_id, cell)
     val postings = base.select(col("vec_id"),
-      element_at(array_sort(centroidDotStructsW(col("emb"), centroids)), 1)
-        .getField("cid").as("cell"))
+      assignCell(col("emb"), centroids).as("cell"))
     // anchor probe list: top-nProbe cells by dot (dot desc, cell id asc)
     val dotStructs = centroidDotStructsW(col("emb"), centroids)
     val probes = base.filter(anchorPred)

@@ -138,6 +138,7 @@ object TextAnalysis {
     * exchange. Token counts use the BPE-ish regex (portable — same
     * semantics in the DuckDB oracle). */
   def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -243,6 +243,39 @@ class JobSpecSuite extends AnyFunSuite {
     assert(parsed.transformers.head.params("expr") == "x + 1")
   }
 
+  test("transformer preValidate catches bad specs without a schema (jdbc dry-run path)") {
+    import graft.model.TransformerSpec
+    // valid specs pass without touching any DataFrame
+    TransformerSpec("dx_substr", "x", Map("start" -> "0", "length" -> "3")).preValidate()
+    TransformerSpec("dx_expr", "y", Map("expr" -> "x + 1")).preValidate()
+    TransformerSpec("dx_filter", "x", Map("op" -> "like", "value" -> "a%")).preValidate()
+    // unknown name, missing required param, unparsable numeric all throw
+    intercept[IllegalArgumentException](
+      TransformerSpec("dx_bogus", "x", Map.empty).preValidate())
+    intercept[NoSuchElementException](
+      TransformerSpec("dx_substr", "x", Map("length" -> "3")).preValidate())
+    intercept[NumberFormatException](
+      TransformerSpec("dx_replace", "x",
+        Map("start" -> "zero", "length" -> "1", "replace" -> "r")).preValidate())
+    intercept[IllegalArgumentException](
+      TransformerSpec("custom", "", Map("class" -> "no.such.Clazz")).preValidate())
+  }
+
+  test("cell-change rendering keeps rows whose delete predicate is NULL (as upserts)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, Some("click"), Some("a")), (2L, 20L, None, Some("b")))
+      .toDF("user_id", "event_id", "event_type", "props")
+    val out = graft.operators.CellChanges.render(df,
+      pk = col("user_id"), version = col("event_id"),
+      deletePred = col("event_type") === "error",
+      cells = Seq("event_type" -> col("event_type"), "props" -> col("props"))).collect()
+    // row 2's predicate is NULL (event_type null): it must still render
+    // its non-null cells as U rows, and emit no DR
+    val row2 = out.filter(_.getLong(0) == 2L)
+    assert(row2.nonEmpty && row2.forall(_.getString(3) == "U"))
+    assert(row2.map(_.getString(1)).toSet == Set("props"))
+  }
+
   test("speed caps: maxBytesPerTrigger bounds batches; eventsPerSecond paces the replay") {
     val dir = tmpDir("graft-speed")
     val cfg = GenConfig(nEvents = 2000, nDocs = 500, nShards = 2, nSegments = 4, avgTokens = 8)

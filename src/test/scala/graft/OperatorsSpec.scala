@@ -357,7 +357,11 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     for (fn <- Seq("graft_shingles", "graft_minhash", "graft_simhash64"))
       assert(spark.catalog.functionExists(fn), s"$fn not registered")
-    val edge = Seq("", "a", "one two", "one two three four five", "Zürich ☃ snow  padded")
+    val edge = Seq("", "a", "one two", "one two three four five", "Zürich ☃ snow  padded",
+      // edge whitespace: Spark/DuckDB trim strips SPACES only, so a
+      // leading \n/\t survives and split yields a leading empty token —
+      // the native path must reproduce that exactly (not String.trim)
+      "\nleading newline doc", "\ttab lead", "trailing newline\n", " \n mixed \t ")
       .toDF("text")
     for (df <- Seq(edge, docs.select(col("text")))) {
       val rows = df.select(
