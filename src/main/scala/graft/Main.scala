@@ -82,6 +82,15 @@ object Main {
       fw.saveMode // validates writeMode
       passed += s"writer.file: mode '${fw.writeMode}' valid for ${fw.path}"
     }
+    spec.dedup.foreach { dx =>
+      require(dx.k % dx.bands == 0, s"dedup: k=${dx.k} must be divisible by bands=${dx.bands}")
+      if (graft.operators.LshIndex.exists(spark, dx.indexDir))
+        passed += s"dedup: index at ${dx.indexDir} loadable " +
+          s"(${graft.operators.LshIndex.describe(spark, dx.indexDir)}; probes follow the index)"
+      else
+        passed += s"dedup: no index at ${dx.indexDir} (first batch builds it " +
+          s"with n=${dx.n} k=${dx.k} bands=${dx.bands})"
+    }
     passed.toSeq
   }
 
@@ -157,6 +166,7 @@ object Main {
       transform = spec.transformFn,
       quarantineDir = spec.quarantineDir,
       errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),
+      dedup = spec.dedup,
       metrics = Some(metrics))
 
     spec.postSql.foreach(spark.sql(_).collect()) // DataX postSql analog

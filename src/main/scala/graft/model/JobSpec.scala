@@ -103,6 +103,9 @@ final case class JobSpec(
     /** `writer.file` block: CSV/text/parquet file sink with the
       * reference's three write modes (see [[FileWriterSpec]]). */
     fileWriter: Option[FileWriterSpec] = None,
+    /** `dedup` block: near-dup admission against a persisted LSH index
+      * (see [[DedupSpec]] / [[graft.operators.LshIndex]]). */
+    dedup: Option[DedupSpec] = None,
     /** dryRun / preCheck mode (`JobContainer.java:100-107` analog):
       * validate the spec, source schema, table format and transformer
       * chain with ZERO writes. Also settable via `graft.Main --dryRun`. */
@@ -150,6 +153,23 @@ final case class FileWriterSpec(
     }
   }
 }
+
+/** `dedup` block — near-dup ADMISSION during replay, against the
+  * persisted MinHash-LSH index at `indexDir`
+  * ([[graft.operators.LshIndex]]): each micro-batch's insert/update
+  * docs probe the index, events of docs near-duplicating an
+  * already-indexed doc are dropped (audit rows under
+  * `indexDir/dropped/batch_id=N/`), and admitted docs are indexed
+  * after the batch's lake commit. `n`/`k`/`bands` are BUILD parameters
+  * (used only when the first batch creates the index); probes always
+  * follow the index's own meta descriptor. */
+final case class DedupSpec(
+    indexDir: String,
+    threshold: Double = 0.8,
+    n: Int = 3,
+    k: Int = 16,
+    bands: Int = 4,
+    maxBucketSize: Int = 1000)
 
 /** One dx_* transformer binding (name + pre-bound parameters — the
   * analog of TransformerUtil.buildTransformerInfo). */
@@ -325,6 +345,16 @@ object JobSpec {
       jdbcReader = jdbcReader,
       jdbcWriter = jdbcWriter,
       fileWriter = fileWriter,
+      dedup = (j \ "dedup") match {
+        case o: JObject => Some(DedupSpec(
+          indexDir = str(o \ "indexDir"),
+          threshold = dbl(o \ "threshold", 0.8),
+          n = num(o \ "n", 3).toInt,
+          k = num(o \ "k", 16).toInt,
+          bands = num(o \ "bands", 4).toInt,
+          maxBucketSize = num(o \ "maxBucketSize", 1000).toInt))
+        case _ => None
+      },
       dryRun = (j \ "dryRun") == JBool(true) || (j \ "setting" \ "dryRun") == JBool(true))
   }
 

@@ -27,6 +27,7 @@ final class ReplayMetrics {
                                         // the source and its metric re-accumulates) — fallback only
   val writeRecords = new AtomicLong(0)  // rows surviving to the MERGE (counted in BOTH paths)
   val dirtyRecords = new AtomicLong(0)  // rows quarantined
+  val dedupDroppedDocs = new AtomicLong(0) // docs dropped by LSH-index admission
   val batches = new AtomicLong(0)
   val fencedBatches = new AtomicLong(0) // retried batches skipped by the fence
   val startNanos = new AtomicLong(System.nanoTime())
@@ -45,7 +46,8 @@ final class ReplayMetrics {
 
   def toJson: String =
     s"""{"readSucceedRecords":$effectiveReadRecords,"writeSucceedRecords":${writeRecords.get},""" +
-    s""""totalErrorRecords":${dirtyRecords.get},"batches":${batches.get},""" +
+    s""""totalErrorRecords":${dirtyRecords.get},"dedupDroppedDocs":${dedupDroppedDocs.get},""" +
+    s""""batches":${batches.get},""" +
     s""""fencedBatches":${fencedBatches.get},"elapsedSec":${f"$elapsedSec%.3f"},""" +
     s""""recordSpeed":${f"$recordSpeed%.1f"}}"""
 

@@ -76,6 +76,7 @@ object Replay {
       transform: DataFrame => DataFrame = identity,
       quarantineDir: Option[String] = None,
       errorLimit: graft.apply.DirtyRouter.ErrorLimit = graft.apply.DirtyRouter.ErrorLimit(),
+      dedup: Option[graft.model.DedupSpec] = None,
       metrics: Option[ReplayMetrics] = None): LakeTable = {
 
     val table =
@@ -122,14 +123,28 @@ object Replay {
           if (fenced || !routeDirty) None
           else Some(graft.apply.DirtyRouter.route(
             transform(raw), batchId, quarantineDir, errorLimit))
+        var admission: Option[graft.operators.LshIndex.Admission] = None
         try {
           if (!fenced) {
-            val batch = split.map(_.clean).getOrElse(transform(raw))
+            val cleanBatch = split.map(_.clean).getOrElse(transform(raw))
+            // near-dup admission (dedup-on-ingest): probe the persisted
+            // LSH index, drop events of docs duplicating indexed docs
+            admission = dedup.map(dx => graft.operators.LshIndex.admit(
+              cleanBatch, dx.indexDir, dx.threshold, dx.maxBucketSize, batchId))
+            val batch = admission.map(_.admitted).getOrElse(cleanBatch)
             val snap = BatchApply.apply(table, batch, batchId, saltBuckets,
               assumeOrdered = assumeOrdered,
               deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain)
-            if (snap.batchId == batchId)
+            if (snap.batchId == batchId) {
               appliedRows += snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
+              // index the admitted docs AFTER the lake commit: a crash in
+              // between degrades only dedup recall, never table rows
+              // (see LshIndex.indexAdmitted ordering note)
+              admission.zip(dedup).foreach { case (a, dx) =>
+                graft.operators.LshIndex.indexAdmitted(
+                  a.admittedDocs, dx.indexDir, dx.n, dx.k, dx.bands)
+              }
+            }
             // tps cap: hold the NEXT batch back until cumulative rate
             // drops under the ceiling
             if (eventsPerSecond > 0 && appliedRows > 0) {
@@ -147,6 +162,7 @@ object Replay {
             split.foreach { sp => cumClean += sp.cleanRows; cumDirty += sp.dirtyRows }
             metrics.foreach { m =>
               m.writeRecords.addAndGet(applied)
+              admission.foreach(a => m.dedupDroppedDocs.addAndGet(a.droppedDocs))
               split match {
                 case Some(sp) =>
                   m.readRecords.addAndGet(sp.cleanRows + sp.dirtyRows)
@@ -156,7 +172,10 @@ object Replay {
               }
             }
           }
-        } finally split.foreach(_.release())
+        } finally {
+          split.foreach(_.release())
+          admission.foreach(_.release())
+        }
         metrics.foreach { m =>
           m.batches.incrementAndGet()
           if (fenced) m.fencedBatches.incrementAndGet()

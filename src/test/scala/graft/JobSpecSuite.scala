@@ -228,6 +228,58 @@ class JobSpecSuite extends AnyFunSuite {
     assert(graft.lake.LakeTable.load(spark, s"$dir/t2").current.batchId == 3)
   }
 
+  test("dedup block: LSH-index admission drops near-dup docs during replay") {
+    import spark.implicits._
+    val dir = tmpDir("graft-dedup-admit")
+    val T = (1 to 12).toArray // doc A's tokens (and its exact dups')
+    def ev(lsn: Long, op: String, doc: String, tokens: Array[Int], src: String) =
+      graft.model.ChangeEvent(0, lsn, op, doc, tokens, tokens.length.toLong, src, null)
+    val batches = Seq(
+      Seq(ev(1, "I", "A", T, "s0"), ev(2, "I", "B", (21 to 32).toArray, "s0")),
+      // update to A (identical tokens, new source): a doc re-matching
+      // ITSELF in the index must be admitted; C duplicates A -> dropped
+      Seq(ev(3, "U", "A", T, "s1"), ev(4, "I", "C", T, "s0")),
+      // C was dropped (never indexed); E still matches A -> dropped
+      Seq(ev(5, "I", "E", T, "s0"), ev(6, "I", "D", (41 to 52).toArray, "s0")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF().coalesce(1).write.parquet(s"$dir/stage$i")
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage$i"))
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/log"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(f"$dir/log/seg-$i%05d.parquet"))
+    }
+    val spec = JobSpec.parse(
+      s"""{"reader": {"logDir": "$dir/log"},
+         | "writer": {"tableDir": "$dir/table", "checkpointDir": "$dir/cp", "nBuckets": 4},
+         | "speed": {"maxFilesPerTrigger": 1},
+         | "dedup": {"indexDir": "$dir/idx", "threshold": 0.8, "n": 3, "k": 16, "bands": 4}
+         |}""".stripMargin)
+    assert(spec.dedup.contains(graft.model.DedupSpec(s"$dir/idx", 0.8, 3, 16, 4, 1000)))
+    val metrics = new ReplayMetrics
+    val table = Replay.replay(spark, spec.logDir, spec.tableDir, spec.checkpointDir,
+      nBuckets = spec.nBuckets, maxFilesPerTrigger = spec.maxFilesPerTrigger,
+      dedup = spec.dedup, metrics = Some(metrics))
+    val state = table.read().select("doc_id", "source").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // A survived its self-matching update (and took the new source);
+    // exact dups C and E were dropped; distinct docs B and D admitted
+    assert(state == Map("A" -> "s1", "B" -> "s0", "D" -> "s0"))
+    assert(metrics.dedupDroppedDocs.get == 2)
+    // audit trail: per-batch dropped pairs under the index
+    val dropped1 = spark.read.parquet(s"$dir/idx/dropped/batch_id=1")
+      .select("doc_id", "dup_of").distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    assert(dropped1.toSet == Set(("C", "A")))
+    val dropped2 = spark.read.parquet(s"$dir/idx/dropped/batch_id=2")
+      .select("doc_id").distinct().collect().map(_.getString(0))
+    assert(dropped2.toSet == Set("E"))
+    // index holds only admitted docs (A twice: original + update append)
+    val indexed = spark.read.parquet(s"$dir/idx/grams").select("doc_id")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(indexed == Set("A", "B", "D"))
+  }
+
   test("dx_expr: arbitrary SQL expression transformer (dx_groovy analog)") {
     import spark.implicits._
     val df = Seq(("ab", 1), ("cde", 2)).toDF("s", "x")
