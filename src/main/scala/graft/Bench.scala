@@ -297,6 +297,37 @@ object Bench {
       val skewSalted = applyOnce(8, "salted")
       skewLog.unpersist()
 
+      // dedup-admission probe: the SAME multi-batch replay with and
+      // without the persisted-LSH-index admission in the foreachBatch
+      // loop — the per-batch cost of probe (batch bands x index bands)
+      // + post-commit index append, measured as end-to-end overhead.
+      // The synthetic corpus has near-zero true near-dups, so this
+      // isolates the bookkeeping cost rather than the drop savings.
+      val dedupEvents = math.min(benchEvents, 1000000L)
+      val dxCfg = GenConfig(
+        nEvents = dedupEvents, nDocs = math.max(1000L, dedupEvents / 4),
+        nShards = 32, avgTokens = 32, nSegments = 4,
+        hotPerMille = 0, evolveAtLsn = Long.MaxValue)
+      val sDx = session(32, "graft-bench-dedup", shufflePartitions = 64)
+      ChangeLogGen.write(sDx, dxCfg, s"$work/dxlog")
+      val dxFiles = new java.io.File(s"$work/dxlog").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val dxPerTrigger = math.max(1, (dxFiles + 3) / 4) // ~4 micro-batches
+      def dedupReplay(tag: String, dedup: Option[graft.model.DedupSpec]): (Double, Long) = {
+        val m = new graft.stream.ReplayMetrics
+        val sec = time(Replay.replay(sDx, s"$work/dxlog",
+          s"$work/dx-table-$tag", s"$work/dx-cp-$tag",
+          nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
+          dedup = dedup, metrics = Some(m)))
+        Seq(s"$work/dx-table-$tag", s"$work/dx-cp-$tag", s"$work/dx-index-$tag").foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        (sec, m.dedupDroppedDocs.get)
+      }
+      val (dedupOffSec, _) = dedupReplay("off", None)
+      val (dedupOnSec, dedupDropped) = dedupReplay("on",
+        Some(graft.model.DedupSpec(s"$work/dx-index-on", threshold = 0.8,
+          n = 3, k = 16, bands = 4, maxBucketSize = 1000)))
+
       def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
       cdcJson =
         s"""{"events":$benchEvents,"avg_tokens":${cfg.avgTokens},"shards":${cfg.nShards},""" +
@@ -310,7 +341,9 @@ object Bench {
         s""""scaling_efficiency_N_to_4N_median_all":${fmt(effN4NMedianAll)},""" +
         s""""scaling_efficiency_8_to_32":${fmt(eff832)},""" +
         s""""skew_events":${skewCfg.nEvents},"skew_hot_per_mille":${skewCfg.hotPerMille},""" +
-        s""""skew_unsalted_sec":${fmt(skewUnsalted)},"skew_salted_sec":${fmt(skewSalted)}}"""
+        s""""skew_unsalted_sec":${fmt(skewUnsalted)},"skew_salted_sec":${fmt(skewSalted)},""" +
+        s""""dedup_events":$dedupEvents,"dedup_off_sec":${fmt(dedupOffSec)},""" +
+        s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped}"""
     }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")

@@ -172,8 +172,18 @@ object Main {
     spec.postSql.foreach(spark.sql(_).collect()) // DataX postSql analog
 
     // post-replay maintenance: rebucket folds deltas too, so compact
-    // after it is cheap; vacuum last removes everything superseded
-    if (spec.rebucketTo > 0) table.rebucket(spec.rebucketTo)
+    // after it is cheap; vacuum last removes everything superseded.
+    // "auto" sizes the bucket count from the live row count — the
+    // growth path when ingest has outpaced the create-time choice
+    if (spec.rebucketTo == JobSpec.RebucketAuto) {
+      val snap0 = table.current
+      val liveRows = snap0.files.filterNot(_.delta).map(_.rows).sum
+      val target = graft.lake.LakeTable.suggestBuckets(liveRows)
+      if (target != snap0.nBuckets) {
+        println(s"maintenance: auto-rebucket ${snap0.nBuckets} -> $target ($liveRows live rows)")
+        table.rebucket(target)
+      }
+    } else if (spec.rebucketTo > 0) table.rebucket(spec.rebucketTo)
     if (spec.compactAfter) table.compact()
     if (spec.vacuumAfter) table.vacuum()
 

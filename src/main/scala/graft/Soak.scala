@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
  * manifest commit path under a growing live file set.
  *
  * Env knobs: SPARK_GRAFT_SOAK_EVENTS (default 100,000,000),
- * SPARK_GRAFT_SOAK_BATCHES (default 4), SPARK_GRAFT_SOAK_WORK
+ * SPARK_GRAFT_SOAK_BATCHES (default 4), SPARK_GRAFT_SOAK_BUCKETS
+ * (table bucket count — an integer, or "auto" to let
+ * [[graft.lake.LakeTable.suggestBuckets]] size it from the expected
+ * final row count; default 64; shuffle.partitions follows it so the
+ * write-side shuffle elision stays aligned), SPARK_GRAFT_SOAK_WORK
  * (default under /dev/shm when present — the metric is engine
  * throughput, not disk writeback).
  */
@@ -25,6 +29,13 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val events = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
     val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "4").toInt
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SOAK_BUCKETS", "64") match {
+      // expected live rows ≈ distinct keys ≈ events/4 (the generator's
+      // nDocs), minus deletes — the estimate only has to land the
+      // right power of two
+      case "auto" => graft.lake.LakeTable.suggestBuckets(events / 4)
+      case n => n.toInt
+    }
     val workRoot = sys.env.get("SPARK_GRAFT_SOAK_WORK").map(java.nio.file.Paths.get(_))
       .getOrElse(if (new java.io.File("/dev/shm").isDirectory)
         java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"))
@@ -36,7 +47,7 @@ object Soak {
       .master("local[32]")
       .appName("graft-soak")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", nBuckets.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "16m")
@@ -53,14 +64,14 @@ object Soak {
       .count(_.getName.endsWith(".parquet"))
     val perTrigger = math.max(1, (nFiles + batches - 1) / batches)
 
-    System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger)")
+    System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger, $nBuckets buckets)")
     val t0 = System.nanoTime()
     val table = Replay.replay(spark, s"$work/log", s"$work/table", s"$work/cp",
-      nBuckets = 64, maxFilesPerTrigger = perTrigger)
+      nBuckets = nBuckets, maxFilesPerTrigger = perTrigger)
     val sec = (System.nanoTime() - t0) / 1e9
     val snap = table.current
     val rows = snap.files.filterNot(_.delta).map(_.rows).sum
-    println(f"""{"soak_events":$events,"batches":$batches,"sec":$sec%.1f,""" +
+    println(f"""{"soak_events":$events,"batches":$batches,"buckets":$nBuckets,"sec":$sec%.1f,""" +
       f""""events_per_sec":${events / sec}%.0f,"table_rows":$rows,""" +
       s""""files":${snap.files.size},"manifests":${snap.manifests.size},""" +
       s""""versions":${table.listVersions.size}}""")

@@ -411,6 +411,32 @@ object SparkEntry {
           "value_e4" -> floor(col("value") * 10000 + 0.5).cast("long"),
           "props" -> col("props")))),
 
+    // PII scrub: the corpus is synthetic-clean, so deterministic PII
+    // (email + IPv4 + phone-shaped digit run, derived from doc_id) is
+    // appended per doc, then detected + redacted with typed
+    // placeholders — one codegen-fused projection, no shuffle
+    "q46_pii_redact" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(" call "), (col("doc_id") + lit(7000000000L)).cast("string")).as("text"))
+      graft.operators.TextAnalysis.piiRedact(seeded)
+    }),
+
+    // intra-document repetition (Gopher-style quality signals):
+    // duplicate-word and duplicate-bigram fractions, per-row arrays only
+    "q47_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+
+    // multimodal frame-index fan-out: one row per video frame with
+    // millisecond timestamp + byte offset — an explode generator inside
+    // the scan task (no shuffle, no driver fan-out)
+    "q48_frame_index" -> ((s, dir) =>
+      graft.operators.Multimodal.frameIndex(
+        graft.operators.Multimodal.decodedMetadata(t(s, dir, "documents")))),
+
     // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
     // through the TransformerSpec machinery itself
     "q32_expr_transform" -> ((s, dir) => {
@@ -682,6 +708,23 @@ object SparkEntry {
     "q45_lsh_index_probe" ->
       graft.operators.Dedup.incrementalNearDupSql(
         "documents", "doc_id % 5 = 0", n = 3, k = 12, bands = 4, threshold = 0.5,
-        maxBucketSize = Int.MaxValue)
+        maxBucketSize = Int.MaxValue),
+
+    "q46_pii_redact" -> {
+      val seeded =
+        """SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+          | || '@example.com from 10.' || CAST(doc_id % 250 AS VARCHAR)
+          | || '.0.' || CAST(doc_id % 200 AS VARCHAR)
+          | || ' call ' || CAST(doc_id + 7000000000 AS VARCHAR) AS text
+          |FROM documents""".stripMargin
+      s"WITH seeded AS ($seeded)\n" +
+        graft.operators.TextAnalysis.piiRedactSql("seeded")
+    },
+
+    "q47_repetition" ->
+      graft.operators.TextAnalysis.repetitionStatsSql("documents"),
+
+    "q48_frame_index" ->
+      graft.operators.Multimodal.frameIndexSql
   )
 }

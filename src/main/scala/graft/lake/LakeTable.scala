@@ -121,6 +121,28 @@ object LakeTable {
   def bucketExpr(docId: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(hash(docId), lit(nBuckets)).cast("int")
 
+  /** Auto-pick a bucket count from table size: smallest power of two
+    * with at most `targetRowsPerBucket` rows per bucket, clamped to
+    * [minBuckets, maxBuckets]. The bucket is the COW/merge work unit,
+    * so the target bounds (a) the rewrite cost a one-row change can
+    * incur and (b) the per-task memory of the merge join; the default
+    * 2M rows ≈ 100-400 MB of tokenized-doc parquet — a comfortable
+    * single-task unit. Powers of two keep rebucketing halving/doubling
+    * -shaped and make `shuffle.partitions == nBuckets` (the write-side
+    * shuffle-elision alignment) a round number. At the 10^10-row north
+    * scale this lands at 2^13 buckets; maxBuckets=2^16 matches the
+    * design ceiling in the class doc. Callers: pass the LIVE row count
+    * (tombstones included is fine — they are rows the merge reads). */
+  def suggestBuckets(liveRows: Long, targetRowsPerBucket: Long = 2000000L,
+      minBuckets: Int = 16, maxBuckets: Int = 1 << 16): Int = {
+    require(targetRowsPerBucket > 0, s"targetRowsPerBucket=$targetRowsPerBucket")
+    require(minBuckets >= 1 && maxBuckets >= minBuckets, s"[$minBuckets,$maxBuckets]")
+    val needed = math.max(1L, (math.max(0L, liveRows) + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    var p = 1L
+    while (p < needed && p < maxBuckets) p <<= 1
+    math.min(maxBuckets.toLong, math.max(minBuckets.toLong, p)).toInt
+  }
+
   // ---------------------------------------------------------------- json
 
   private def fileToJson(f: DataFile): JValue = JObject(

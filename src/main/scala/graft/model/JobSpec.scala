@@ -243,6 +243,11 @@ final case class TransformerSpec(
 
 object JobSpec {
 
+  /** `maintenance.rebucket = "auto"` sentinel: pick the bucket count
+    * from the table's live row count ([[graft.lake.LakeTable
+    * .suggestBuckets]]) and rebucket only when it differs. */
+  val RebucketAuto: Int = -2
+
   def parse(json: String): JobSpec = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(json)
@@ -339,7 +344,10 @@ object JobSpec {
         graft.apply.BatchApply.DefaultMaxDeltaChain.toLong).toInt,
       preSql = sqlList(j \ "writer" \ "preSql"),
       postSql = sqlList(j \ "writer" \ "postSql"),
-      rebucketTo = num(j \ "maintenance" \ "rebucket", -1L).toInt,
+      rebucketTo = (j \ "maintenance" \ "rebucket") match {
+        case JString("auto") => JobSpec.RebucketAuto
+        case v => num(v, -1L).toInt
+      },
       compactAfter = (j \ "maintenance" \ "compact") == JBool(true),
       vacuumAfter = (j \ "maintenance" \ "vacuum") == JBool(true),
       jdbcReader = jdbcReader,

@@ -115,4 +115,44 @@ object Multimodal {
        |       THEN (1 + $h % 240)::INT ELSE 1 END AS n_frames
        |FROM documents""".stripMargin
   }
+
+  /** Nominal frame rate of the stub "video" assets (frame timestamps =
+    * frame_no * 1000 / Fps milliseconds). */
+  val Fps = 24
+
+  /** FRAME INDEX table — the per-frame fan-out a video pipeline keys
+    * sampling/captioning/embedding work on: one row per frame of each
+    * video asset with frame number, millisecond timestamp and the
+    * frame's byte offset in the (stub-decoded) payload. Images/audio
+    * don't explode (n_frames=1 upstream keeps the fan-out honest).
+    *
+    * Scale shape: `explode(sequence(...))` is a generator inside the
+    * scan task — no shuffle, no driver fan-out; output size is
+    * sum(n_frames), so at 100 TB you bound it by sampling FIRST
+    * ([[frameOffsets]]-style stride or a predicate on `frame_no %
+    * step`) and let the generator prune. Offsets here are the even
+    * byte-stride a fixed-size-frame container would have — a real
+    * demuxer replaces ONLY the offset arithmetic; the exploded-index
+    * shape stands. */
+  def frameIndex(decoded: DataFrame): DataFrame =
+    decoded
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+      .select(
+        col("doc_id"),
+        col("frame_no"),
+        // DIV: Column./ is double division; the oracle uses integer //
+        expr(s"CAST(frame_no AS BIGINT) * 1000 DIV $Fps").as("ts_ms"),
+        expr("CAST(frame_no AS BIGINT) * byte_len DIV n_frames").as("byte_offset"))
+
+  /** DuckDB oracle for [[frameIndex]] over [[decodedMetadataSql]]'s
+    * output shape (integer division both sides). */
+  def frameIndexSql: String =
+    s"""SELECT doc_id, frame_no::INT AS frame_no,
+       |  (frame_no::BIGINT * 1000) // $Fps AS ts_ms,
+       |  (frame_no::BIGINT * byte_len) // n_frames AS byte_offset
+       |FROM (SELECT d.*, unnest(range(0, n_frames)) AS frame_no
+       |      FROM (${decodedMetadataSql.replace("\n", "\n      ")}) d
+       |      WHERE media_type = 'video')""".stripMargin
 }

@@ -220,4 +220,97 @@ object TextAnalysis {
        |  SELECT doc_id, source, $ppmCase AS ppm, $draw % 1000000 AS draw FROM $tbl)
        |WHERE draw < ppm""".stripMargin
   }
+
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns — written to mean the same thing in Java regex (Spark)
+    * and RE2 (DuckDB): character classes, bounded repetition and `\b`
+    * word boundaries only (no backrefs, no lookaround — RE2 has
+    * neither). Digit-run boundaries keep the patterns disjoint on any
+    * input: an IPv4 octet is 1-3 digits (never 7+), digits inside an
+    * email abut word characters (no `\b`), so the three counts never
+    * double-count one substring. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{7,15}\\b"
+
+  /** PII detection + redaction — the scrubbing pass every training
+    * corpus runs before the tokenizer: count emails / IPv4 addresses /
+    * long digit runs (phone-shaped), and rewrite the text with typed
+    * placeholders. Redaction order is email -> IP -> phone so the
+    * broader digit-run pattern only sees digits that survived the
+    * structured patterns.
+    *
+    * Scale shape: a single narrow projection (regex count + chained
+    * `regexp_replace`), fused into the scan by whole-stage codegen — no
+    * shuffle, runs at scan speed on 100 TB like [[qualityScores]]. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>").as("clean_text"))
+
+  /** DuckDB oracle for [[piiRedact]] over table/CTE `tbl` (RE2 needs the
+    * explicit 'g' flag to replace every match; Spark replaces all by
+    * default). */
+  def piiRedactSql(tbl: String): String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailPattern'))::INT AS n_emails,
+       |  len(regexp_extract_all(text, '$Ipv4Pattern'))::INT AS n_ips,
+       |  len(regexp_extract_all(text, '$PhonePattern'))::INT AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPattern', '<EMAIL>', 'g'),
+       |    '$Ipv4Pattern', '<IP>', 'g'),
+       |    '$PhonePattern', '<PHONE>', 'g') AS clean_text
+       |FROM $tbl""".stripMargin
+
+  // ----------------------------------------------------------- repetition
+
+  /** Intra-document REPETITION signals (the Gopher-style quality
+    * filters): fraction of duplicated words and duplicated word bigrams
+    * within each document. Boilerplate, keyword-stuffed and
+    * degenerate-generation text scores high; prose scores low. Ratio =
+    * 1 - distinct/total (0 when every n-gram is unique).
+    *
+    * Scale shape: per-row array expressions only — the words array is
+    * staged ONCE per row (HOF lambdas are interpreted, no codegen CSE,
+    * so re-deriving it per reference would re-run the regex split four
+    * times); no shuffle anywhere. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val staged = docs.select(
+      col("doc_id"),
+      Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        Portable.shinglesFromWords(col("ws"), 2).as("g2"))
+    staged.select(
+      col("doc_id"),
+      size(col("ws")).as("n_words"),
+      size(array_distinct(col("ws"))).as("n_distinct_words"),
+      size(col("g2")).as("n_2grams"),
+      size(array_distinct(col("g2"))).as("n_distinct_2grams"))
+      .withColumn("dup_word_ratio",
+        round(lit(1.0) - col("n_distinct_words") / col("n_words"), 6))
+      .withColumn("dup_2gram_ratio",
+        round(lit(1.0) - col("n_distinct_2grams") / col("n_2grams"), 6))
+  }
+
+  /** DuckDB oracle for [[repetitionStats]]. */
+  def repetitionStatsSql(tbl: String): String = {
+    val ws = Portable.wordsSql("text")
+    val g2 = Portable.shinglesSql("text", 2)
+    s"""SELECT doc_id,
+       |  len(ws)::INT AS n_words,
+       |  len(list_distinct(ws))::INT AS n_distinct_words,
+       |  len(g2)::INT AS n_2grams,
+       |  len(list_distinct(g2))::INT AS n_distinct_2grams,
+       |  round(1.0 - len(list_distinct(ws)) / len(ws), 6) AS dup_word_ratio,
+       |  round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio
+       |FROM (SELECT doc_id, $ws AS ws, $g2 AS g2 FROM $tbl)""".stripMargin
+  }
 }

@@ -384,6 +384,17 @@ class JobSpecSuite extends AnyFunSuite {
     table.vacuum()
     assert(table.current.nBuckets == 32)
     assert(table.read().orderBy("doc_id").collect().sameElements(before))
+    // "auto" parses to the sentinel and the suggestion follows live rows
+    val auto = JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c"},
+        | "maintenance": {"rebucket": "auto"}}""".stripMargin)
+    assert(auto.rebucketTo == JobSpec.RebucketAuto)
+    val liveRows = table.current.files.filterNot(_.delta).map(_.rows).sum
+    val target = graft.lake.LakeTable.suggestBuckets(liveRows)
+    table.rebucket(target) // Main's auto path: rebucket to the suggestion
+    assert(table.current.nBuckets == target)
+    assert(table.read().orderBy("doc_id").collect().sameElements(before))
   }
 
   test("jdbc reader/writer blocks parse to the Spark jdbc option surface") {

@@ -199,4 +199,17 @@ class LakeManifestSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bucketFn"))
   }
+
+  test("suggestBuckets: power-of-two sizing from live rows, clamped") {
+    import LakeTable.suggestBuckets
+    assert(suggestBuckets(0L) == 16) // min clamp
+    assert(suggestBuckets(2000000L) == 16) // 1 bucket needed, min clamp
+    assert(suggestBuckets(40000000L) == 32) // 20 buckets -> 32
+    assert(suggestBuckets(64L * 2000000L) == 64) // exact boundary stays
+    assert(suggestBuckets(64L * 2000000L + 1) == 128) // one over doubles
+    assert(suggestBuckets(10000000000L) == 8192) // the 10^10 north scale
+    assert(suggestBuckets(Long.MaxValue / 4) == (1 << 16)) // max clamp
+    assert(suggestBuckets(1000000L, targetRowsPerBucket = 1000L,
+      minBuckets = 1, maxBuckets = 1 << 20) == 1024)
+  }
 }

@@ -425,4 +425,48 @@ class OperatorsSpec extends AnyFunSuite {
       assert(offs.zip(offs.tail).forall { case (a, b) => b - a == 16 })
     }
   }
+
+  test("frame index: one row per video frame, timestamps and offsets in range") {
+    val meta = Multimodal.decodedMetadata(docs)
+    val idx = Multimodal.frameIndex(meta)
+    val perDoc = idx.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = meta.filter(col("media_type") === "video").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames").toLong).toMap
+    assert(perDoc == expected && expected.nonEmpty)
+    val rows = idx.collect()
+    assert(rows.forall { r =>
+      val (fn, ts, off) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      fn >= 0 && ts == fn.toLong * 1000 / Multimodal.Fps && off >= 0
+    })
+  }
+
+  test("PII redaction: counts and placeholders on planted PII, identity on clean text") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.org or 192.168.1.200, cell 4155550123"),
+      (2L, "two mails a@b.io c@d.co and short digits 123456 stay"),
+      (3L, "perfectly clean prose with no contact information at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(in).collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) == ((1, 1, 1, "reach me at <EMAIL> or <IP>, cell <PHONE>")))
+    // 123456 is 6 digits — below the 7-digit phone floor
+    assert(out(2L) == ((2, 0, 0, "two mails <EMAIL> <EMAIL> and short digits 123456 stay")))
+    assert(out(3L) == ((0, 0, 0, "perfectly clean prose with no contact information at all")))
+  }
+
+  test("repetition stats: degenerate text scores high, unique text scores zero") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "spam spam spam spam"), // 4 words, 1 distinct; 3 bigrams, 1 distinct
+      (2L, "all words here are distinct ones"),
+      (3L, "ab ab cd cd")) // 4 words, 2 distinct; bigrams: [ab ab, ab cd, cd cd] distinct 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(in).collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(1L) == ((4, 1, 3, 1, 0.75, 0.666667))) // round(1 - 1/3, 6)
+    assert(out(2L) == ((6, 6, 5, 5, 0.0, 0.0)))
+    assert(out(3L) == ((4, 2, 3, 3, 0.5, 0.0)))
+  }
 }
