@@ -437,6 +437,42 @@ object SparkEntry {
       graft.operators.Multimodal.frameIndex(
         graft.operators.Multimodal.decodedMetadata(t(s, dir, "documents")))),
 
+    // as-of join (SURVEY §2.8 — absent in DataX, and a plan stock Spark
+    // gets wrong): each click gets the latest preceding purchase value
+    // of the same user — union + ONE keyed window, no per-probe scan.
+    // The right side is pre-aggregated to one row per (user, ts) so the
+    // as-of value is unambiguous in both engines.
+    "q49_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_purchase"))
+      graft.operators.Joins.asofJoin(clicks, purchases,
+          key = "user_id", ts = "ts", payload = Seq("last_purchase"))
+        .select(col("event_id"), col("user_id"), col("last_purchase"))
+    }),
+
+    // range join (point-in-interval) via bin decomposition: clicks
+    // falling inside each purchase's value-seconds validity window —
+    // equi-join on a 10-minute bin id + exact verify, never
+    // points × intervals (stock Spark would pick a
+    // BroadcastNestedLoopJoin for the inequality-only predicate)
+    "q50_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), unix_micros(col("ts").cast("timestamp")).as("p_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), unix_micros(col("ts").cast("timestamp")).as("s_us"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            floor(col("value") * 1000000L).cast("long")).as("e_us"))
+      graft.operators.Joins.rangeJoinBinned(clicks, purchases,
+          pointCol = "p_us", startCol = "s_us", endCol = "e_us",
+          binWidth = 600000000L)
+        .select(col("click_id"), col("purchase_id"))
+    }),
+
     // §2.4 dx_expr (dx_groovy analog): arbitrary SQL expression applied
     // through the TransformerSpec machinery itself
     "q32_expr_transform" -> ((s, dir) => {
@@ -725,6 +761,28 @@ object SparkEntry {
       graft.operators.TextAnalysis.repetitionStatsSql("documents"),
 
     "q48_frame_index" ->
-      graft.operators.Multimodal.frameIndexSql
+      graft.operators.Multimodal.frameIndexSql,
+
+    "q49_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(value) AS last_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, p.last_purchase
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q50_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id
+        |FROM clicks c JOIN purchases p
+        |  ON c.p_us >= p.s_us AND c.p_us < p.e_us""".stripMargin
   )
 }

@@ -469,4 +469,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L) == ((6, 6, 5, 5, 0.0, 0.0)))
     assert(out(3L) == ((4, 2, 3, 3, 0.5, 0.0)))
   }
+
+  test("asof join: latest preceding right row per key, >= at equal ts, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // before any right row -> null
+      (1L, 20L, 101L), // exactly at right ts=20 -> that row (>= convention)
+      (1L, 35L, 102L), // between 30 and 50 -> ts=30
+      (1L, 99L, 103L), // after all -> ts=50
+      (2L, 5L, 200L)   // key with no right rows at all -> null
+    ).toDF("user_id", "t", "event_id").select(col("event_id"), col("user_id"),
+      col("t").cast("timestamp").as("ts"))
+    val right = Seq((1L, 20L, 2.5, "a"), (1L, 30L, 3.5, "b"), (1L, 50L, 5.5, "c"))
+      .toDF("user_id", "t", "v", "tag").select(col("user_id"),
+        col("t").cast("timestamp").as("ts"), col("v"), col("tag"))
+    val out = graft.operators.Joins.asofJoin(left, right,
+        key = "user_id", ts = "ts", payload = Seq("v", "tag"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), Option(r.getString(4)))).toMap
+    assert(out == Map(
+      100L -> ((None, None)), 101L -> ((Some(2.5), Some("a"))),
+      102L -> ((Some(3.5), Some("b"))), 103L -> ((Some(5.5), Some("c"))),
+      200L -> ((None, None))))
+    // payload fields ride one struct: a matched right row with a null
+    // field still counts as the match (no fall-through to an older row)
+    val rightNull = Seq((1L, 20L, Option.empty[Double], "x"), (1L, 10L, Option(9.9), "y"))
+      .toDF("user_id", "t", "v", "tag").select(col("user_id"),
+        col("t").cast("timestamp").as("ts"), col("v"), col("tag"))
+    val probe = Seq((1L, 25L, 1L)).toDF("user_id", "t", "event_id")
+      .select(col("event_id"), col("user_id"), col("t").cast("timestamp").as("ts"))
+    val got = graft.operators.Joins.asofJoin(probe, rightNull,
+      key = "user_id", ts = "ts", payload = Seq("v", "tag")).collect().head
+    assert(got.isNullAt(3) && got.getString(4) == "x")
+  }
+
+  test("range join: binned equi-join equals the naive cross filter, no nested-loop join") {
+    import spark.implicits._
+    val points = Seq((1L, 0L), (2L, 100L), (3L, 999L), (4L, 1000L), (5L, 2500L))
+      .toDF("pid", "p")
+    val intervals = Seq(
+      (10L, 0L, 1000L),    // spans bins 0-9 at bw=100; matches p=0,100,999 (end exclusive)
+      (11L, 999L, 1001L),  // matches 999, 1000
+      (12L, 2000L, 2000L), // empty interval -> nothing
+      (13L, 2600L, 2400L)  // inverted -> nothing
+    ).toDF("iid", "s", "e")
+    val out = graft.operators.Joins.rangeJoinBinned(points, intervals,
+      pointCol = "p", startCol = "s", endCol = "e", binWidth = 100L)
+    val got = out.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("s") && col("p") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L), (4L, 11L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+  }
 }
