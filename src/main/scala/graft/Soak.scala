@@ -24,25 +24,22 @@ import org.apache.spark.sql.SparkSession
  * write-side shuffle elision stays aligned), SPARK_GRAFT_SOAK_WORK
  * (default under /dev/shm when present — the metric is engine
  * throughput, not disk writeback).
+ *
+ * SPARK_GRAFT_SOAK_BUCKET_LADDER ("16,64,256,...") switches to ladder
+ * mode: generate the log ONCE, then replay it once per bucket count
+ * into a fresh table (fresh checkpoint, fresh SparkSession so
+ * shuffle.partitions tracks the bucket count and the write-side
+ * shuffle elision stays aligned at every rung). This measures the
+ * bucket count's two opposing cost terms on the SAME input — fewer
+ * buckets = each sparse batch rewrites a larger fraction of the table
+ * (COW write amplification), more buckets = more files/commit overhead
+ * per batch — and documents where the knee sits for a given table
+ * size, which is what [[graft.lake.LakeTable.suggestBuckets]] encodes.
+ * Emits one JSON line per rung plus a summary line.
  */
 object Soak {
-  def main(args: Array[String]): Unit = {
-    val events = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
-    val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "4").toInt
-    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SOAK_BUCKETS", "64") match {
-      // expected live rows ≈ distinct keys ≈ events/4 (the generator's
-      // nDocs), minus deletes — the estimate only has to land the
-      // right power of two
-      case "auto" => graft.lake.LakeTable.suggestBuckets(events / 4)
-      case n => n.toInt
-    }
-    val workRoot = sys.env.get("SPARK_GRAFT_SOAK_WORK").map(java.nio.file.Paths.get(_))
-      .getOrElse(if (new java.io.File("/dev/shm").isDirectory)
-        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"))
-    val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-soak").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))))
 
+  private def newSession(nBuckets: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-soak")
@@ -54,27 +51,70 @@ object Soak {
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val events = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "4").toInt
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SOAK_BUCKETS", "64") match {
+      // expected live rows ≈ distinct keys ≈ events/4 (the generator's
+      // nDocs), minus deletes — the estimate only has to land the
+      // right power of two
+      case "auto" => graft.lake.LakeTable.suggestBuckets(events / 4)
+      case n => n.toInt
+    }
+    val ladder = sys.env.get("SPARK_GRAFT_SOAK_BUCKET_LADDER")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
+    val workRoot = sys.env.get("SPARK_GRAFT_SOAK_WORK").map(java.nio.file.Paths.get(_))
+      .getOrElse(if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp"))
+    val work = java.nio.file.Files.createTempDirectory(workRoot, "graft-soak").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))))
 
     val cfg = GenConfig(
       nEvents = events, nDocs = events / 4, nShards = 32, avgTokens = 32,
       hotPerMille = 50, nSegments = batches, evolveAtLsn = Long.MaxValue)
     System.err.println(s"[soak] generating $events events under $work")
-    ChangeLogGen.write(spark, cfg, s"$work/log")
+    val genSession = newSession(if (ladder.nonEmpty) ladder.head else nBuckets)
+    ChangeLogGen.write(genSession, cfg, s"$work/log")
     val nFiles = new java.io.File(s"$work/log").listFiles()
       .count(_.getName.endsWith(".parquet"))
     val perTrigger = math.max(1, (nFiles + batches - 1) / batches)
 
-    System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger, $nBuckets buckets)")
-    val t0 = System.nanoTime()
-    val table = Replay.replay(spark, s"$work/log", s"$work/table", s"$work/cp",
-      nBuckets = nBuckets, maxFilesPerTrigger = perTrigger)
-    val sec = (System.nanoTime() - t0) / 1e9
-    val snap = table.current
-    val rows = snap.files.filterNot(_.delta).map(_.rows).sum
-    println(f"""{"soak_events":$events,"batches":$batches,"buckets":$nBuckets,"sec":$sec%.1f,""" +
-      f""""events_per_sec":${events / sec}%.0f,"table_rows":$rows,""" +
-      s""""files":${snap.files.size},"manifests":${snap.manifests.size},""" +
-      s""""versions":${table.listVersions.size}}""")
-    spark.stop()
+    def runOnce(spark: SparkSession, buckets: Int, tag: String): Double = {
+      System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger, $buckets buckets)")
+      val t0 = System.nanoTime()
+      val table = Replay.replay(spark, s"$work/log", s"$work/table-$tag", s"$work/cp-$tag",
+        nBuckets = buckets, maxFilesPerTrigger = perTrigger)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val snap = table.current
+      val rows = snap.files.filterNot(_.delta).map(_.rows).sum
+      println(f"""{"soak_events":$events,"batches":$batches,"buckets":$buckets,"sec":$sec%.1f,""" +
+        f""""events_per_sec":${events / sec}%.0f,"table_rows":$rows,""" +
+        s""""files":${snap.files.size},"manifests":${snap.manifests.size},""" +
+        s""""versions":${table.listVersions.size}}""")
+      Seq(s"$work/table-$tag", s"$work/cp-$tag").foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      sec
+    }
+
+    if (ladder.isEmpty) {
+      runOnce(genSession, nBuckets, "solo")
+      genSession.stop()
+    } else {
+      genSession.stop()
+      // fresh session per rung: shuffle.partitions must equal the rung's
+      // bucket count or the write-side shuffle elision goes away and the
+      // rung measures an extra exchange instead of the bucket cost
+      val secs = ladder.map { b =>
+        val s = newSession(b)
+        try b -> runOnce(s, b, s"b$b") finally s.stop()
+      }
+      val summary = secs.map { case (b, s) => s""""$b":${f"$s%.1f"}""" }.mkString(",")
+      println(s"""{"bucket_ladder_sec":{$summary},"events":$events,"suggest":${
+        graft.lake.LakeTable.suggestBuckets(events / 4)}}""")
+    }
   }
 }

@@ -437,6 +437,20 @@ object SparkEntry {
       graft.operators.Multimodal.frameIndex(
         graft.operators.Multimodal.decodedMetadata(t(s, dir, "documents")))),
 
+    // exact duplicated-span detection (the "exact substring dedup" pass):
+    // positional word 5-grams shared by >= 2 distinct docs mark
+    // duplicated spans; per-doc duplicated fraction drives filtering or
+    // span excision
+    "q51_dup_spans" -> ((s, dir) =>
+      graft.operators.Dedup.dupSpans(t(s, dir, "documents"), n = 5, minDf = 2)),
+
+    // fixed-context-window chunking (complement of q41 packing): long
+    // docs split into overlapping 64-word windows every 48 words, one
+    // generator in the scan task
+    "q52_chunk_sequences" -> ((s, dir) =>
+      graft.operators.TextAnalysis.chunkSequences(
+        t(s, dir, "documents"), chunkLen = 64, stride = 48)),
+
     // as-of join (SURVEY §2.8 — absent in DataX, and a plan stock Spark
     // gets wrong): each click gets the latest preceding purchase value
     // of the same user — union + ONE keyed window, no per-probe scan.
@@ -783,6 +797,12 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT c.click_id, p.purchase_id
         |FROM clicks c JOIN purchases p
-        |  ON c.p_us >= p.s_us AND c.p_us < p.e_us""".stripMargin
+        |  ON c.p_us >= p.s_us AND c.p_us < p.e_us""".stripMargin,
+
+    "q51_dup_spans" ->
+      graft.operators.Dedup.dupSpansSql("documents", n = 5, minDf = 2),
+
+    "q52_chunk_sequences" ->
+      graft.operators.TextAnalysis.chunkSequencesSql("documents", chunkLen = 64, stride = 48)
   )
 }

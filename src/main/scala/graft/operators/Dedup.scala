@@ -580,4 +580,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("anchor_id"), col("doc_id"), col("jaccard"))
   }
+
+  /** EXACT DUPLICATED-SPAN detection — the positional complement of the
+    * whole-document near-dup family (the "exact substring dedup" pass of
+    * LLM data pipelines, cf. Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): a word n-gram occurring at a
+    * position in ≥ `minDf` DISTINCT documents marks that position as a
+    * cross-corpus duplicated span (boilerplate headers, license blocks,
+    * quoted chain mail — text MinHash under-weights because the rest of
+    * the doc is unique). Output per doc: total gram positions, how many
+    * sit inside a duplicated span, and the duplicated fraction — the
+    * signal used either to filter whole docs or to drive span excision.
+    *
+    * Scale shape: positional grams come from ONE `posexplode` generator
+    * per doc (the words array is staged once and never rides the
+    * exploded rows); the doc-frequency table is a two-level aggregate
+    * (distinct (gram, doc_id) with map-side partial, then a count) and
+    * the join back is a plain equi-join — work ∝ corpus gram positions,
+    * never corpus². At 100 TB the gram STRING is the shuffle weight:
+    * swap the join key to `xxhash64(gram)` (8 bytes, collision odds
+    * ~n²/2⁶⁴ — fine for a filter signal) or the codegen'd
+    * `graft_shingles`; kept as the string here so DuckDB verifies the
+    * values exactly. */
+  def dupSpans(docs: DataFrame, n: Int, minDf: Int): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"dupSpans(n=$n, minDf=$minDf)")
+    val staged = docs
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("grams"))
+    // (doc_id, pos, gram) — one generator, nothing wide on exploded rows
+    val positions = Mat.materialize(staged.select(col("doc_id"),
+      posexplode(col("grams")).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram")))
+    val dupGrams = positions.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("gram"))
+    val hits = positions.join(dupGrams, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_positions"))
+    positions.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_positions").cast("double") / col("n_grams"), 6))
+  }
+
+  /** DuckDB oracle for [[dupSpans]] over table/CTE `tbl`. */
+  def dupSpansSql(tbl: String, n: Int, minDf: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${Portable.shinglesSql("text", n)} AS grams FROM $tbl),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(1, len(grams) + 1)) AS pos,
+       |         unnest(grams) AS gram FROM g),
+       |dup AS (
+       |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM pos)
+       |  GROUP BY gram HAVING count(*) >= $minDf),
+       |hits AS (
+       |  SELECT p.doc_id AS doc_id, count(*)::BIGINT AS n_dup_positions
+       |  FROM pos p JOIN dup d ON p.gram = d.gram GROUP BY p.doc_id)
+       |SELECT p.doc_id AS doc_id, count(*)::BIGINT AS n_grams,
+       |  coalesce(any_value(h.n_dup_positions), 0)::BIGINT AS n_dup_positions,
+       |  round(coalesce(any_value(h.n_dup_positions), 0)::DOUBLE / count(*), 6)
+       |    AS dup_fraction
+       |FROM pos p LEFT JOIN hits h ON p.doc_id = h.doc_id
+       |GROUP BY p.doc_id""".stripMargin
 }

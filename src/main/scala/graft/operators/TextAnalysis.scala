@@ -162,6 +162,48 @@ object TextAnalysis {
        |      len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS n_tok FROM $tbl))
        |GROUP BY source, pack_id""".stripMargin
 
+  /** Fixed-context-window CHUNKING — the complement of
+    * [[packSequences]]: packing joins short docs into one training
+    * sequence; chunking splits long docs into overlapping
+    * `chunkLen`-word windows every `stride` words (stride < chunkLen =
+    * sliding overlap, stride == chunkLen = disjoint). Output one row per
+    * chunk: (doc_id, chunk_id, chunk, n_words); the trailing chunk may
+    * be short. Every word position is covered and chunk k of a doc is a
+    * pure function of (text, k) — re-running over a re-sharded corpus
+    * yields identical chunks, which is what makes sample-level lineage
+    * possible downstream.
+    *
+    * Scale shape: the chunk array is built INSIDE one projection
+    * (transform over sequence, slice per k) and exploded by a generator
+    * in the scan task — the words array never rides the exploded rows,
+    * no shuffle anywhere; output ∝ Σ ceil(doc_len/stride). */
+  def chunkSequences(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"chunkSequences(chunkLen=$chunkLen, stride=$stride)")
+    docs
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) DIV $stride),
+           |  k -> struct(
+           |    concat_ws(' ', slice(ws, CAST(k * $stride + 1 AS INT), $chunkLen)) AS chunk,
+           |    CAST(least($chunkLen, size(ws) - k * $stride) AS INT) AS n_words))""".stripMargin))
+        .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"), col("c.chunk").as("chunk"),
+        col("c.n_words").as("n_words"))
+  }
+
+  /** DuckDB oracle for [[chunkSequences]] (`//` = integer division,
+    * `list_slice` bounds are inclusive). */
+  def chunkSequencesSql(tbl: String, chunkLen: Int, stride: Int): String = {
+    val ws = Portable.wordsSql("text")
+    s"""SELECT doc_id, k::INT AS chunk_id,
+       |  array_to_string(list_slice(ws, k * $stride + 1, k * $stride + $chunkLen), ' ')
+       |    AS chunk,
+       |  least($chunkLen, len(ws) - k * $stride)::INT AS n_words
+       |FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) - 1) // $stride + 1)) AS k
+       |      FROM (SELECT doc_id, $ws AS ws FROM $tbl))""".stripMargin
+  }
+
   /** Corpus VOCABULARY top-k: most frequent lower-cased BPE-ish tokens
     * with exact counts. Plan shape: explode -> hash-aggregate with
     * map-side partial counts (the per-token explosion never crosses the

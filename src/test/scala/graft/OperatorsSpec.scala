@@ -525,4 +525,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a nested-loop plan:\n$plan")
   }
+
+  test("dup spans: positional cross-doc n-gram duplication fraction per doc") {
+    import spark.implicits._
+    // a/b share word 3-grams "x y z" and "y z w" (positions 1, 2 of 3)
+    val docs = Seq(
+      ("a", "x y z w q"),
+      ("b", "x y z w r"),
+      ("c", "completely different words here now")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupSpans(docs, n = 3, minDf = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      "a" -> ((3L, 2L, 0.666667)),
+      "b" -> ((3L, 2L, 0.666667)),
+      "c" -> ((3L, 0L, 0.0))))
+    // a doc of <= n words contributes its whole text as ONE gram at pos 1
+    // (same degenerate-shingle convention as the rest of the dedup suite);
+    // a within-doc repeat alone is NOT a duplicated span (minDf counts
+    // DISTINCT docs)
+    val short = Seq(("s1", "x y"), ("s2", "x y"), ("s3", "x z x z")).toDF("doc_id", "text")
+    val out2 = graft.operators.Dedup.dupSpans(short, n = 3, minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2 == Map("s1" -> 1L, "s2" -> 1L, "s3" -> 0L))
+  }
+
+  test("chunk sequences: overlapping windows cover every word, trailing chunk short") {
+    import spark.implicits._
+    val docs = Seq(("a", "w1 w2 w3 w4 w5 w6 w7"), ("b", "x1 x2")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkSequences(docs, chunkLen = 4, stride = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    assert(out == Map(
+      ("a", 0) -> (("w1 w2 w3 w4", 4)),
+      ("a", 1) -> (("w3 w4 w5 w6", 4)),
+      ("a", 2) -> (("w5 w6 w7", 3)),
+      ("a", 3) -> (("w7", 1)),
+      ("b", 0) -> (("x1 x2", 2))))
+    // chunk k is a pure function of (text, k): identical across repartitioning
+    val re = graft.operators.TextAnalysis.chunkSequences(docs.repartition(7), 4, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    assert(re == out)
+  }
 }
