@@ -178,7 +178,8 @@ object Main {
     if (spec.rebucketTo == JobSpec.RebucketAuto) {
       val snap0 = table.current
       val liveRows = snap0.files.filterNot(_.delta).map(_.rows).sum
-      val target = graft.lake.LakeTable.suggestBuckets(liveRows)
+      val target = graft.lake.LakeTable.suggestBuckets(liveRows,
+        parallelism = spark.sparkContext.defaultParallelism)
       if (target != snap0.nBuckets) {
         println(s"maintenance: auto-rebucket ${snap0.nBuckets} -> $target ($liveRows live rows)")
         table.rebucket(target)

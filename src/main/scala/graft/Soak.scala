@@ -61,7 +61,7 @@ object Soak {
       // expected live rows ≈ distinct keys ≈ events/4 (the generator's
       // nDocs), minus deletes — the estimate only has to land the
       // right power of two
-      case "auto" => graft.lake.LakeTable.suggestBuckets(events / 4)
+      case "auto" => graft.lake.LakeTable.suggestBuckets(events / 4, parallelism = 32)
       case n => n.toInt
     }
     val ladder = sys.env.get("SPARK_GRAFT_SOAK_BUCKET_LADDER")
@@ -114,7 +114,7 @@ object Soak {
       }
       val summary = secs.map { case (b, s) => s""""$b":${f"$s%.1f"}""" }.mkString(",")
       println(s"""{"bucket_ladder_sec":{$summary},"events":$events,"suggest":${
-        graft.lake.LakeTable.suggestBuckets(events / 4)}}""")
+        graft.lake.LakeTable.suggestBuckets(events / 4, parallelism = 32)}}""")
     }
   }
 }

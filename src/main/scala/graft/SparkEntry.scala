@@ -39,6 +39,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** q53's split mix (ppm, sums to 1e6) — shared by query and oracle. */
+  private val SplitSpec = Seq("train" -> 960000, "val" -> 20000, "test" -> 20000)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -451,6 +454,25 @@ object SparkEntry {
       graft.operators.TextAnalysis.chunkSequences(
         t(s, dir, "documents"), chunkLen = 64, stride = 48)),
 
+    // deterministic train/val/test assignment: hash-draw split labels,
+    // disjoint + exhaustive + re-shard/corpus-growth stable, zero shuffles
+    "q53_split_assign" -> ((s, dir) =>
+      graft.operators.TextAnalysis.splitAssign(
+        t(s, dir, "documents"), SplitSpec)),
+
+    // per-vector symmetric int8 quantization (4x smaller embeddings =
+    // 4x less shuffle weight for every downstream ANN join), with
+    // element-exact codes + per-vector max reconstruction error
+    "q54_quantize_int8" -> ((s, dir) =>
+      graft.operators.Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+
+    // measured recall@5 of exact search over int8-reconstructed vectors
+    // vs the float baseline — the fidelity number that justifies
+    // shipping quantized embeddings (as q33 justifies LSH)
+    "q55_quant_recall" -> ((s, dir) =>
+      graft.operators.Similarity.quantRecallAtK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
+
     // as-of join (SURVEY §2.8 — absent in DataX, and a plan stock Spark
     // gets wrong): each click gets the latest preceding purchase value
     // of the same user — union + ONE keyed window, no per-probe scan.
@@ -803,6 +825,45 @@ object SparkEntry {
       graft.operators.Dedup.dupSpansSql("documents", n = 5, minDf = 2),
 
     "q52_chunk_sequences" ->
-      graft.operators.TextAnalysis.chunkSequencesSql("documents", chunkLen = 64, stride = 48)
+      graft.operators.TextAnalysis.chunkSequencesSql("documents", chunkLen = 64, stride = 48),
+
+    "q53_split_assign" ->
+      graft.operators.TextAnalysis.splitAssignSql("documents", SplitSpec),
+
+    "q54_quantize_int8" ->
+      graft.operators.Similarity.quantizeInt8Sql("embeddings"),
+
+    "q55_quant_recall" -> {
+      val simF = graft.operators.Similarity.simSql("a.aemb", "e.emb")
+      // reconstruction floor(x/scale + 0.5) * scale is pure IEEE — the
+      // rebuilt arrays are bit-identical to the Spark side's, so the
+      // 6-dp-rounded sims compare exactly (same q21/q33 convention)
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sc AS (SELECT vec_id, emb,
+         |    CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+         |         ELSE list_max(list_transform(emb, x -> abs(x))) / 127 END AS scale
+         |  FROM e0),
+         |qe AS (SELECT vec_id,
+         |    list_transform(emb, x -> floor(x / scale + 0.5) * scale) AS emb FROM sc),
+         |ax AS (SELECT vec_id AS anchor_id, emb AS aemb FROM e0 WHERE vec_id % 100 = 0),
+         |sx AS (SELECT a.anchor_id, e.vec_id AS neighbor_id, $simF AS sim
+         |  FROM ax a JOIN e0 e ON e.vec_id <> a.anchor_id),
+         |rx AS (SELECT anchor_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sx),
+         |ex AS (SELECT anchor_id, neighbor_id FROM rx WHERE rank <= 5),
+         |aq AS (SELECT vec_id AS anchor_id, emb AS aemb FROM qe WHERE vec_id % 100 = 0),
+         |sq AS (SELECT a.anchor_id, e.vec_id AS neighbor_id, $simF AS sim
+         |  FROM aq a JOIN qe e ON e.vec_id <> a.anchor_id),
+         |rq AS (SELECT anchor_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM sq),
+         |ap AS (SELECT anchor_id, neighbor_id FROM rq WHERE rank <= 5),
+         |hits AS (SELECT ex.anchor_id, count(ap.neighbor_id) AS hits
+         |  FROM ex LEFT JOIN ap ON ex.anchor_id = ap.anchor_id AND ex.neighbor_id = ap.neighbor_id
+         |  GROUP BY ex.anchor_id)
+         |SELECT count(*)::BIGINT AS n_anchors,
+         |  round(avg(hits::DOUBLE / 5), 6) AS avg_recall FROM hits""".stripMargin
+    }
   )
 }

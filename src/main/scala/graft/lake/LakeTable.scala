@@ -132,12 +132,21 @@ object LakeTable {
     * shuffle-elision alignment) a round number. At the 10^10-row north
     * scale this lands at 2^13 buckets; maxBuckets=2^16 matches the
     * design ceiling in the class doc. Callers: pass the LIVE row count
-    * (tombstones included is fine — they are rows the merge reads). */
+    * (tombstones included is fine — they are rows the merge reads).
+    *
+    * `parallelism` (pass the cluster's total core count) adds a floor of
+    * 2×cores: the bucket count caps apply/write parallelism, and the
+    * measured bucket ladder (BASELINE.md — 10^8-event soak, 25M rows,
+    * 32 cores) shows the row target alone is catastrophic when it lands
+    * below the core count: 16 buckets ran 5.5× slower than 64 (=2×cores,
+    * the knee), while oversizing to 256 cost 2.4× in per-batch file
+    * overhead — so the floor is 2×, not more. */
   def suggestBuckets(liveRows: Long, targetRowsPerBucket: Long = 2000000L,
-      minBuckets: Int = 16, maxBuckets: Int = 1 << 16): Int = {
+      minBuckets: Int = 16, maxBuckets: Int = 1 << 16, parallelism: Int = 0): Int = {
     require(targetRowsPerBucket > 0, s"targetRowsPerBucket=$targetRowsPerBucket")
     require(minBuckets >= 1 && maxBuckets >= minBuckets, s"[$minBuckets,$maxBuckets]")
-    val needed = math.max(1L, (math.max(0L, liveRows) + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val byRows = math.max(1L, (math.max(0L, liveRows) + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val needed = math.max(byRows, 2L * math.max(0, parallelism))
     var p = 1L
     while (p < needed && p < maxBuckets) p <<= 1
     math.min(maxBuckets.toLong, math.max(minBuckets.toLong, p)).toInt

@@ -471,6 +471,77 @@ object Similarity {
     recallOf(bruteForceTopK(emb, anchorPred, k),
       ivfTopKWith(emb, anchorPred, k, centroids, nProbe), k)
 
+  // ---------------------------------------------------------- quantization
+
+  /** Per-vector symmetric INT8 quantization — the storage/shuffle
+    * compression pass of a 100 TB embedding pipeline: `scale =
+    * max|x|/127`, `q_d = floor(x_d/scale + 0.5)` ∈ [-127, 127] (the max
+    * component maps to ±127 exactly, so no clipping branch exists).
+    * A float32 corpus drops 4× in bytes — which is 4× less shuffle
+    * weight for every ANN/near-dup join downstream — at a reconstruction
+    * error bounded by scale/2 per component, measured here per vector.
+    *
+    * Output: (vec_id, n_dims, scale_r, q_csv, max_abs_err_r). The
+    * quantized codes ride as a CSV string so the DuckDB oracle verifies
+    * them element-exact; a production sink would keep `array<byte>`.
+    * All rounding is `floor(x·10^9 + 0.5)/10^9` — pure IEEE arithmetic,
+    * bit-identical across engines (Java's BigDecimal HALF_UP vs C
+    * half-even disagree on exact ties). Plan shape: ONE codegen-staged
+    * projection pair (max_abs staged first so the interpreted HOF
+    * lambdas do not recompute it per element), zero shuffles. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    def r9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val x = (c: Column) => c.cast("double")
+    emb
+      .select(col("vec_id"), col("embedding").as("v"),
+        array_max(transform(col("embedding"), e => abs(x(e)))).as("max_abs"))
+      // zero vector: scale 1 quantizes every component to 0 (no 0/0)
+      .select(col("vec_id"), col("v"),
+        when(col("max_abs") === 0d, lit(1d)).otherwise(col("max_abs") / 127d).as("scale"))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("n_dims"),
+        r9(col("scale")).as("scale_r"),
+        concat_ws(",", transform(col("v"),
+          e => floor(x(e) / col("scale") + 0.5).cast("int").cast("string"))).as("q_csv"),
+        r9(array_max(transform(col("v"),
+          e => abs(x(e) - floor(x(e) / col("scale") + 0.5) * col("scale"))))).as("max_abs_err_r"))
+  }
+
+  /** DuckDB oracle for [[quantizeInt8]] over table `tbl` with columns
+    * (vec_id, embedding: FLOAT[]). */
+  def quantizeInt8Sql(tbl: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $tbl),
+       |m AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+       |s AS (SELECT vec_id, v,
+       |        CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs / 127 END AS scale FROM m)
+       |SELECT vec_id, len(v)::INT AS n_dims,
+       |  floor(scale * 1e9 + 0.5) / 1e9 AS scale_r,
+       |  array_to_string(list_transform(v,
+       |    x -> CAST(CAST(floor(x / scale + 0.5) AS INT) AS VARCHAR)), ',') AS q_csv,
+       |  floor(list_max(list_transform(v,
+       |    x -> abs(x - floor(x / scale + 0.5) * scale))) * 1e9 + 0.5) / 1e9 AS max_abs_err_r
+       |FROM s""".stripMargin
+
+  /** Measured recall@k of exact top-k run over the INT8-RECONSTRUCTED
+    * vectors (`q_d · scale`) against the float baseline — the fidelity
+    * number that justifies shipping quantized embeddings, exactly as
+    * [[recallAtK]] justifies the LSH approximation. */
+  def quantRecallAtK(emb: DataFrame, anchorPred: Column, k: Int): DataFrame = {
+    val x = (c: Column) => c.cast("double")
+    val recon = emb
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), e => abs(x(e)))).as("max_abs"))
+      .select(col("vec_id"), col("embedding"),
+        when(col("max_abs") === 0d, lit(1d)).otherwise(col("max_abs") / 127d).as("scale"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => floor(x(e) / col("scale") + 0.5) * col("scale")).as("embedding"))
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      bruteForceTopK(recon, anchorPred, k), k)
+  }
+
   private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame, k: Int): DataFrame = {
     // the exact side is referenced twice below (hit join + anchor pad):
     // materialize once instead of re-running the anchor×corpus scoring

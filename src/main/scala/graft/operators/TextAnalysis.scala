@@ -263,6 +263,45 @@ object TextAnalysis {
        |WHERE draw < ppm""".stripMargin
   }
 
+  /** Deterministic TRAIN/VAL/TEST split assignment — the other half of
+    * the sampling story next to [[mixSample]]: every doc gets exactly
+    * one split label from a hash draw over its id, so the assignment is
+    * (1) disjoint and exhaustive by construction, (2) identical across
+    * cluster sizes, re-shards and engines (the property a random() or
+    * `randomSplit` assignment loses — those change membership on every
+    * re-run, silently leaking val docs into train), and (3) stable under
+    * corpus growth: adding docs never moves an existing doc's split.
+    * `splits` are (label, ppm) with ppm summing to 1,000,000.
+    *
+    * Scale shape: ONE codegen-fused projection riding the scan — zero
+    * shuffles, zero coordination (plan-asserted in the spec). */
+  def splitAssign(docs: DataFrame, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2.toLong).sum == 1000000L,
+      s"splitAssign ppm must be positive and sum to 1000000: $splits")
+    val cum = splits.map(_._2.toLong).scanLeft(0L)(_ + _).tail
+    // linear CASE chain (each branch referenced once — no 2^N blowup)
+    val label = splits.zip(cum).dropRight(1).foldRight(lit(splits.last._1)) {
+      case (((name, _), c), acc) => when(col("draw") < c, lit(name)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        (Portable.hash32(concat(lit("split#"), col("doc_id").cast("string")))
+          % 1000000L).as("draw"))
+      .select(col("doc_id"), col("source"), label.as("split"))
+  }
+
+  /** DuckDB oracle for [[splitAssign]]. */
+  def splitAssignSql(tbl: String, splits: Seq[(String, Int)]): String = {
+    val cum = splits.map(_._2.toLong).scanLeft(0L)(_ + _).tail
+    val cases = splits.zip(cum).dropRight(1)
+      .map { case ((name, _), c) => s"WHEN draw < $c THEN '$name'" }
+      .mkString(" ")
+    val draw = Portable.hash32Sql("'split#' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source,
+       |  CASE $cases ELSE '${splits.last._1}' END AS split
+       |FROM (SELECT doc_id, source, $draw % 1000000 AS draw FROM $tbl)""".stripMargin
+  }
+
   // ------------------------------------------------------------------ PII
 
   /** PII patterns — written to mean the same thing in Java regex (Spark)

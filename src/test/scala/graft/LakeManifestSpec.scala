@@ -211,5 +211,11 @@ class LakeManifestSpec extends AnyFunSuite {
     assert(suggestBuckets(Long.MaxValue / 4) == (1 << 16)) // max clamp
     assert(suggestBuckets(1000000L, targetRowsPerBucket = 1000L,
       minBuckets = 1, maxBuckets = 1 << 20) == 1024)
+    // parallelism floor = 2x cores (the measured bucket-ladder knee):
+    // row target alone would starve the apply below the core count
+    assert(suggestBuckets(25000000L) == 16) // rows alone: 12.5 -> 16
+    assert(suggestBuckets(25000000L, parallelism = 32) == 64) // floor binds
+    assert(suggestBuckets(10000000000L, parallelism = 32) == 8192) // rows bind
+    assert(suggestBuckets(0L, parallelism = 1 << 20) == (1 << 16)) // max clamp
   }
 }

@@ -569,4 +569,61 @@ class OperatorsSpec extends AnyFunSuite {
       .toMap
     assert(re == out)
   }
+
+  test("split assign: disjoint+exhaustive, reshard-stable, shuffle-free") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val splits = Seq("train" -> 900000, "val" -> 50000, "test" -> 50000)
+    val out = graft.operators.TextAnalysis.splitAssign(docs, splits)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // exhaustive: every doc labeled exactly once, labels from the spec
+    assert(rows.size == 400 && rows.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.values.count(_ == "train") > 300) // 90% rate dominates
+    // deterministic under resharding (the property randomSplit loses)
+    val re = graft.operators.TextAnalysis.splitAssign(docs.repartition(13), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(re == rows)
+    // one fused projection, no exchange
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"splitAssign shuffled:\n$plan")
+    // ppm must sum to 1e6
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.splitAssign(docs, Seq("a" -> 1, "b" -> 2))
+    }
+  }
+
+  test("quantize int8: exact codes, scale, max error; zero-vector guard") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.quantizeInt8(emb)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getString(3), r.getDouble(4)))).toMap
+    // scale = 1/127; q = floor(x*127 + 0.5): 127, -63, 32, 0
+    val (n1, s1, q1, e1) = out(1L)
+    assert(n1 == 4 && q1 == "127,-63,32,0")
+    assert(math.abs(s1 - 1.0 / 127) < 1e-9)
+    // worst component is x=-0.5 -> |-0.5 - (-63/127)| = 0.003937...
+    assert(math.abs(e1 - (0.5 - 63.0 / 127)) < 1e-6)
+    // zero vector: scale falls back to 1, all codes 0, zero error
+    assert(out(2L) == ((4, 1.0, "0,0,0,0", 0.0)))
+  }
+
+  test("quantized recall: int8 reconstruction preserves well-separated top-k") {
+    import spark.implicits._
+    // anchor 0 plus two tight clusters far apart: quantization noise
+    // (~scale/2 per dim) cannot flip the ranking
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.2f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.quantRecallAtK(emb, col("vec_id") === 0, k = 2)
+      .collect().head
+    assert(r.getLong(0) == 1 && r.getDouble(1) == 1.0)
+  }
 }
