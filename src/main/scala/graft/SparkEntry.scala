@@ -18,6 +18,9 @@ object SparkEntry {
   /** q25's CSV fixture dirs, keyed by source dir (see q25_csv_source). */
   private val csvFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q56's JSONL fixture dirs, keyed by source dir (see q56_json_source). */
+  private val jsonFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Flagship: the CDC engine end-to-end at test scale — generate a
     * deterministic change log to disk, STREAM-replay it (Structured
     * Streaming, multi-batch, checkpointed) into a LakeTable with
@@ -517,7 +520,40 @@ object SparkEntry {
       spec(t(s, dir, "documents"))
         .select(col("doc_id"), col("tagged"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // §2.2 hdfsreader format family: JSON-lines source round-trip
+    // (parquet -> JSONL -> schema-on-read scan -> aggregate). The
+    // explicit read schema matters at scale: inference would scan the
+    // corpus twice. Fixture memoized per source dir like q25, so the
+    // bench times the READ path.
+    "q56_json_source" -> ((s, dir) => {
+      val tmp = jsonFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-json").toString
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(d)
+        d
+      })
+      s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .json(tmp)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
+    // SemDeDup-style semantic dedup: disjoint spherical cells, drop any
+    // vector with a lower-id cosine-neighbor >= 0.3 in its cell, keep
+    // first-seen — the embedding-space complement of q11/q14 lexical
+    // dedup (catches paraphrases sharing no n-grams)
+    "q57_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Similarity.semanticDedup(
+        t(s, dir, "embeddings"), threshold = 0.3, cells = 16, dim = 64)),
+
+    // per-doc top-5 salient terms by tf-idf (raw-ratio idf — every step
+    // an exactly-rounded IEEE op, so cross-engine bit-exact): keyword
+    // extraction / topic tagging over the corpus
+    "q58_tfidf_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -864,6 +900,20 @@ object SparkEntry {
          |  GROUP BY ex.anchor_id)
          |SELECT count(*)::BIGINT AS n_anchors,
          |  round(avg(hits::DOUBLE / 5), 6) AS avg_recall FROM hits""".stripMargin
-    }
+    },
+
+    // q56 round-trips documents through JSONL in Spark; the values the
+    // oracle must reproduce are the original parquet aggregates (same
+    // convention as q25's CSV round-trip)
+    "q56_json_source" ->
+      """SELECT lang, source, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q57_semantic_dedup" ->
+      graft.operators.Similarity.semanticDedupSql(threshold = 0.3, cells = 16, dim = 64),
+
+    "q58_tfidf_topk" ->
+      graft.operators.TextAnalysis.tfidfTopKSql("documents", k = 5)
   )
 }

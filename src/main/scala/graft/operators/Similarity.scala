@@ -556,4 +556,60 @@ object Similarity {
       .agg(count(lit(1)).as("n_anchors"),
         round(avg(col("hits").cast("double") / k), 6).as("avg_recall"))
   }
+
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): partition
+    * the corpus into disjoint spherical cells, and within each cell drop
+    * every vector that has a LOWER-id neighbor with cosine >= threshold
+    * ("keep the earliest of any near pair" — a deterministic, order-free
+    * keep rule; ids are ingest order, so this keeps first-seen). This is
+    * the embedding-space complement of [[graft.operators.Dedup]]'s
+    * lexical passes: it removes paraphrases and re-renderings that share
+    * no n-grams at all. Returns the SURVIVORS as (vec_id, cell).
+    *
+    * Plan shape at scale: one narrow cell-assign projection, a self
+    * equi-join ON THE CELL ID (never all-pairs — the quadratic term is
+    * bounded by cell occupancy, corpus/cells expected; `cells` is the
+    * scale knob exactly as in [[ivfTopK]], raised until cells are
+    * executor-sized), a distinct on dropped ids, and a left_anti join
+    * back. At production scale the cells come from
+    * [[kmeansCentroids]] via [[semanticDedupWith]] (tighter cells = both
+    * fewer false merges and smaller joins); the fixed ±1 directions
+    * remain the oracle-checkable default. */
+  def semanticDedup(emb: DataFrame, threshold: Double, cells: Int, dim: Int): DataFrame =
+    semanticDedupWith(emb, threshold, centroidWeights(cells, dim))
+
+  /** [[semanticDedup]] with explicit (e.g. learned) centroid directions. */
+  def semanticDedupWith(emb: DataFrame, threshold: Double,
+      centroids: Array[Array[Double]]): DataFrame = {
+    // consumed three times (both join sides + the anti-join base), and
+    // the cell-assign projection is an interpreted HOF over cells×dim
+    // products — materialize once ([[Mat]], persist-with-lineage)
+    val assigned = Mat.materialize(withNorm(emb).select(col("vec_id"), col("emb"), col("nrm"),
+      assignCell(col("emb"), centroids).cast("int").as("cell")))
+    val keep = assigned.select(col("cell"), col("vec_id").as("keep_id"),
+      col("emb").as("kemb"), col("nrm").as("knrm"))
+    val cand = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+      col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val dropped = cand.join(keep, Seq("cell"))
+      .filter(col("keep_id") < col("cand_id") &&
+        simExpr(col("kemb"), col("cemb"), col("knrm"), col("cnrm")) >= threshold)
+      .select(col("cand_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]] over table `embeddings`. */
+  def semanticDedupSql(threshold: Double, cells: Int, dim: Int): String = {
+    val dots = ivfDotsSql("emb", cells, dim)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |d AS (SELECT vec_id, emb, $dots AS dl FROM e),
+       |post AS (SELECT vec_id, emb, (list_position(dl, list_max(dl)) - 1)::INT AS cell FROM d),
+       |dropped AS (SELECT DISTINCT c.vec_id
+       |  FROM post c JOIN post k ON k.cell = c.cell AND k.vec_id < c.vec_id
+       |  WHERE ${simSql("k.emb", "c.emb")} >= $threshold)
+       |SELECT p.vec_id, p.cell FROM post p
+       |WHERE p.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+  }
 }

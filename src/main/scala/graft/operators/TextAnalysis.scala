@@ -394,4 +394,63 @@ object TextAnalysis {
        |  round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio
        |FROM (SELECT doc_id, $ws AS ws, $g2 AS g2 FROM $tbl)""".stripMargin
   }
+
+  /** Term pattern for [[tfidfTopK]]: alphanumeric runs over lower-cased
+    * text (punctuation excluded — symbols carry no salience and would
+    * dominate raw-ratio idf on short docs). */
+  val TermPattern = "[a-z0-9]+"
+
+  /** Per-document top-k SALIENT terms by tf-idf — the keyword-extraction
+    * pass of a curation pipeline (topic tagging, per-domain term drift,
+    * boilerplate spotting). `score = tf * (N / df)`: term frequency
+    * scaled by inverse document frequency as the raw ratio rather than
+    * its logarithm — the ratio keeps every arithmetic step a single
+    * IEEE-754 exactly-rounded operation (one integer product below 2^53,
+    * one double divide), so Spark and the DuckDB oracle agree BIT-exactly
+    * where `ln` implementations may differ in the last ulp. Ranking is
+    * (score desc, term asc) — fully deterministic.
+    *
+    * Plan shape at scale: explode -> two hash-aggregates with map-side
+    * partial counts (tf keyed by (doc, term), df keyed by term — the df
+    * input is the ALREADY-aggregated tf rows, one per distinct (doc,
+    * term), never the raw token stream), an equi-join on term, the
+    * corpus size N rides in as a broadcast 1-row cross join (no driver
+    * collect), and the final top-k is a per-doc-keyed window whose
+    * partitions are bounded by per-doc vocabulary — no global sort, no
+    * single-task funnel anywhere. */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    // tf feeds BOTH the scored rows and the df aggregate below —
+    // materialize it once (persist-with-lineage, [[Mat]]) so the
+    // explode+aggregate over the corpus runs a single time instead of
+    // once per consumer
+    val tf = Mat.materialize(docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(TermPattern), lit(0))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** DuckDB oracle for [[tfidfTopK]]. */
+  def tfidfTopKSql(tbl: String, k: Int): String =
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TermPattern')) AS term
+       |           FROM $tbl),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM $tbl),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         (tf.tf * n.n_docs)::DOUBLE / df.df AS score
+       |       FROM tf JOIN df USING (term) CROSS JOIN n),
+       |rk AS (SELECT *, row_number() OVER (
+       |         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
+       |SELECT doc_id, rank, term, tf, df, score FROM rk WHERE rank <= $k""".stripMargin
 }

@@ -626,4 +626,60 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) == 1 && r.getDouble(1) == 1.0)
   }
+
+  test("semantic dedup: drops exactly the lower-id-neighbor vectors, keeps first-seen") {
+    val survivors = Similarity.semanticDedup(emb, threshold = 0.3, cells = 16, dim = 64)
+    val kept = survivors.select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(kept.nonEmpty && kept.size < emb.count())
+    // reference check vs the all-pairs definition restricted to cells:
+    // a vector survives iff no lower-id vector in its SAME cell has
+    // cosine >= threshold (within-cell brute force at test scale)
+    val cent = Similarity.centroidWeights(16, 64)
+    val assigned = Similarity.semanticDedupWith(emb, threshold = 2.0, cent) // tau>1: no drops, reuse cell assign
+      .withColumnRenamed("vec_id", "id")
+    val cells = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.size == emb.count()) // tau>1 drops nothing
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(r * 1e6 + 0.5) / 1e6 // same 6-dp rounding as the operator
+    }
+    val expectedKept = vecs.keys.filter { id =>
+      !vecs.keys.exists(o => o < id && cells(o) == cells(id) && sim(vecs(o), vecs(id)) >= 0.3)
+    }.toSet
+    assert(kept == expectedKept)
+  }
+
+  test("semantic dedup with learned centroids runs and keeps a superset-of-none invariant") {
+    val cent = Similarity.kmeansCentroids(emb, cells = 8, dim = 64, iters = 2)
+    val survivors = Similarity.semanticDedupWith(emb, threshold = 0.3, cent)
+    val n = survivors.count()
+    assert(n > 0 && n <= emb.count())
+    // deterministic: second run identical
+    val again = Similarity.semanticDedupWith(emb, threshold = 0.3, cent)
+    assert(survivors.exceptAll(again).isEmpty && again.exceptAll(survivors).isEmpty)
+  }
+
+  test("tfidf top-k: ranks bounded, scores consistent, rare term outranks common term") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta beta zzz"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha delta epsilon")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(d, k = 2).collect()
+    // every doc has <= k rows, ranks 1..k contiguous
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(rs => rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length)))
+    // doc 1: beta tf=2 df=2 -> score 3.0; zzz tf=1 df=1 -> score 3.0;
+    // alpha tf=1 df=3 -> 1.0. Tie at 3.0 breaks by term asc: beta rank 1.
+    val d1 = byDoc(1L).sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(5)))
+    assert(d1.toSeq == Seq("beta" -> 3.0, "zzz" -> 3.0))
+    // score = tf * N / df exactly
+    assert(out.forall(r => r.getDouble(5) ==
+      (r.getLong(3) * 3).toDouble / r.getLong(4)))
+  }
 }
