@@ -163,6 +163,7 @@ object Main {
       assumeOrdered = spec.assumeOrdered,
       deltaThreshold = spec.deltaThreshold,
       maxDeltaChain = spec.maxDeltaChain,
+      changelog = spec.changelog,
       transform = spec.transformFn,
       quarantineDir = spec.quarantineDir,
       errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),

@@ -21,6 +21,9 @@ object SparkEntry {
   /** q56's JSONL fixture dirs, keyed by source dir (see q56_json_source). */
   private val jsonFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q62's lake-with-changelog fixture roots, keyed by source dir. */
+  private val lakeFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Flagship: the CDC engine end-to-end at test scale — generate a
     * deterministic change log to disk, STREAM-replay it (Structured
     * Streaming, multi-batch, checkpointed) into a LakeTable with
@@ -553,7 +556,71 @@ object SparkEntry {
     // an exactly-rounded IEEE op, so cross-engine bit-exact): keyword
     // extraction / topic tagging over the corpus
     "q58_tfidf_topk" -> ((s, dir) =>
-      graft.operators.TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5))
+      graft.operators.TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5)),
+
+    // C4-style paragraph-level keep-first dedup: every 16-word
+    // paragraph kept only at its first (doc_id, pos) occurrence
+    // corpus-wide, docs rewritten from the survivors — the edit
+    // operation dupSpans only scores
+    "q59_paragraph_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.paragraphDedup(t(s, dir, "documents"), paraLen = 16)),
+
+    // CCNet-style unigram-LM quality scoring, integer-exact: per-term
+    // surprisal = bit width of the inverse corpus frequency; per-doc
+    // sums are integers (order-independent — no cross-engine ln/sum
+    // exposure)
+    "q60_unigram_surprisal" -> ((s, dir) =>
+      graft.operators.TextAnalysis.unigramSurprisal(t(s, dir, "documents"))),
+
+    // deterministic global shuffle into 8 ordered training shards:
+    // hash-draw range bins + per-shard rank = one reproducible global
+    // permutation (what orderBy(rand()) loses), one keyed exchange
+    "q61_shuffle_shards" -> ((s, dir) =>
+      graft.operators.TextAnalysis.shuffleShards(t(s, dir, "documents"), nShards = 8)),
+
+    // the LakeTable as a CDC SOURCE (Delta-CDF / Iceberg
+    // incremental-read analog; §2.2 otsstreamreader composability):
+    // apply two change batches derived from `events` into a real
+    // LakeTable with the change feed on, then incrementally read batch
+    // 1's canonical changes back via readChanges — the one oracle query
+    // that exercises the actual lake+merge engine end-to-end
+    "q62_lake_changelog" -> ((s, dir) => {
+      val root = lakeFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-lake-cdc").toString
+        val ev = t(s, dir, "events")
+        val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        val changes = ev.select(
+          col("user_id").as("doc_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_id").as("lsn"),
+          array(pmod(col("event_id"), lit(1000)).cast("int")).as("tokens"),
+          (pmod(col("event_id"), lit(7)) + 1).cast("int").as("n_tok"),
+          col("event_type").as("source"),
+          lit(null).cast("string").as("lang"),
+          pmod(col("user_id"), lit(4)).cast("int").as("shard"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, containsNull = false)),
+          org.apache.spark.sql.types.StructField("n_tok",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType)))
+        val table = graft.lake.LakeTable.create(s, d, schema, nBuckets = 8)
+        graft.apply.BatchApply.apply(table, changes.filter(col("lsn") <= mid),
+          batchId = 0, changelog = true)
+        graft.apply.BatchApply.apply(table, changes.filter(col("lsn") > mid),
+          batchId = 1, changelog = true)
+        d
+      })
+      graft.lake.LakeTable.load(s, root).readChanges(sinceBatchId = 0)
+        .select(col("doc_id"), col("op"), col("lsn"),
+          concat_ws(",", col("tokens")).as("tokens_csv"), col("n_tok"),
+          col("source"), col("batch_id").cast("long").as("batch_id"))
+    })
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -914,6 +981,32 @@ object SparkEntry {
       graft.operators.Similarity.semanticDedupSql(threshold = 0.3, cells = 16, dim = 64),
 
     "q58_tfidf_topk" ->
-      graft.operators.TextAnalysis.tfidfTopKSql("documents", k = 5)
+      graft.operators.TextAnalysis.tfidfTopKSql("documents", k = 5),
+
+    "q59_paragraph_dedup" ->
+      graft.operators.Dedup.paragraphDedupSql("documents", paraLen = 16),
+
+    "q60_unigram_surprisal" ->
+      graft.operators.TextAnalysis.unigramSurprisalSql("documents"),
+
+    "q61_shuffle_shards" ->
+      graft.operators.TextAnalysis.shuffleShardsSql("documents", nShards = 8),
+
+    // q62 applies the SAME derived change batches through the real
+    // LakeTable merge engine; the feed of batch 1 must equal the
+    // batch's canonical last-wins changes (one row per doc, max lsn)
+    "q62_lake_changelog" ->
+      """WITH b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |c AS (SELECT user_id AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::INT AS n_tok,
+        |        event_type AS source
+        |      FROM events, b WHERE event_id > b.mid),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, op, lsn, tokens_csv, n_tok, source, 1::BIGINT AS batch_id
+        |FROM w WHERE rn = 1""".stripMargin
   )
 }

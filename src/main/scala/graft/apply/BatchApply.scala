@@ -105,7 +105,8 @@ object BatchApply {
   def apply(table: LakeTable, batch: DataFrame, batchId: Long, saltBuckets: Int = 1,
       assumeOrdered: Boolean = false,
       deltaThreshold: Double = DefaultDeltaThreshold,
-      maxDeltaChain: Int = DefaultMaxDeltaChain): LakeTable.Snapshot = {
+      maxDeltaChain: Int = DefaultMaxDeltaChain,
+      changelog: Boolean = false): LakeTable.Snapshot = {
     var snap = table.current
     // ---- exactly-once fence: retry of an already-committed batch
     if (batchId >= 0 && batchId <= snap.batchId) return snap
@@ -140,6 +141,24 @@ object BatchApply {
       val lineage = stats.map(r => LakeTable.LineageEntry(
         batchId, r.getAs[Int]("shard"), r.getAs[Long]("minLsn"), r.getAs[Long]("maxLsn"), r.getAs[Long]("rows"))).toSeq
       val watermarks = stats.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("maxLsn")).toMap
+
+      // ---- opt-in change-data feed (the table as a CDC SOURCE — read
+      //      back via LakeTable.readChanges): the canonical rows are
+      //      exactly what this commit merges, so emitting them is one
+      //      O(batch) parquet write riding the already-persisted
+      //      canonical frame, never a post-hoc snapshot diff (O(table)).
+      //      Written BEFORE the snapshot commit and batch-scoped
+      //      overwrite, so a foreachBatch retry of a crash in between
+      //      rewrites the identical partition (idempotent), and readers
+      //      fence on batch_id <= snapshot.batchId to hide partitions
+      //      whose commit never landed.
+      if (changelog) {
+        canonical
+          .select(col("doc_id"), col("op"), col("lsn"), col("tokens"), col("n_tok"),
+            col("source"), col("lang"), col("shard"))
+          .write.mode("overwrite")
+          .parquet(s"${table.root}/${LakeTable.ChangelogDir}/batch_id=$batchId")
+      }
 
       // ---- manifest-level pruning + per-bucket change counts in one job
       val changedPerBucket = canonical.groupBy(col("bucket")).count()

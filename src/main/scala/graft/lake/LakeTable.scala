@@ -82,6 +82,11 @@ object LakeTable {
   /** Manifest-list length that triggers consolidation at commit. */
   val CompactManifestsAt = 16
 
+  /** Subdirectory holding the opt-in change-data feed (one
+    * `batch_id=N/` parquet partition per applied micro-batch — see
+    * [[graft.apply.BatchApply]] `changelog`). */
+  val ChangelogDir = "changelog"
+
   /** `delta=true` marks a merge-on-read file: its rows OVERLAY the
     * bucket's base rows, resolved at read time by max `_lsn` per key
     * (Iceberg-v2 positional-delete analog expressed as upsert rows). */
@@ -431,6 +436,32 @@ class LakeTable(val spark: SparkSession, val root: String) {
     readResolved(None, snapshot).filter(!col(DeletedCol)).drop(LsnCol, DeletedCol)
 
   def read(): DataFrame = read(None)
+
+  /** INCREMENTAL CHANGE READ — the table as a CDC *source* (the Delta
+    * CDF / Iceberg incremental-scan analog, and the composability story
+    * of the reference's `otsstreamreader`: a downstream job can tail
+    * THIS table's changes the way this engine tails its upstream log).
+    * Returns the canonical per-key changes of every batch in
+    * `(sinceBatchId, current.batchId]`: one row per (batch_id, doc_id)
+    * with op I/U/D, lsn, and the payload columns — exactly what
+    * [[graft.apply.BatchApply]] merged, so replaying these changes into
+    * a second table reproduces the first's state.
+    *
+    * Requires the feed to have been enabled at write time
+    * (`changelog = true` — writing change files costs one extra
+    * O(batch) parquet write per commit; diffing COW snapshots after the
+    * fact would cost O(table)). Reads prune to the requested batch_id
+    * partitions, and the upper fence `batch_id <= current.batchId`
+    * hides any feed partition whose commit never landed (a crash
+    * between feed write and snapshot commit leaves an uncommitted
+    * partition; its batch retry overwrites it before committing). */
+  def readChanges(sinceBatchId: Long = -1L): DataFrame = {
+    val dir = new Path(root, ChangelogDir)
+    require(fs.exists(dir),
+      s"no changelog under $root — replay with changelog=true to enable the change feed")
+    spark.read.option("basePath", dir.toString).parquet(dir.toString)
+      .filter(col("batch_id") > sinceBatchId && col("batch_id") <= current.batchId)
+  }
 
   // --------------------------------------------------------------- write
 

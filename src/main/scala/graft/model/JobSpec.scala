@@ -82,6 +82,11 @@ final case class JobSpec(
       * length before a COW folds it. */
     deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
     maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
+    /** `writer.changelog`: emit a change-data feed (one parquet
+      * partition of canonical per-key changes per applied batch) so the
+      * table doubles as a CDC SOURCE for downstream jobs — read back
+      * incrementally via [[graft.lake.LakeTable.readChanges]]. */
+    changelog: Boolean = false,
     /** arbitrary SQL run before/after the replay (DataX preSql/postSql,
       * `CommonRdbmsWriter.java:88-166` — e.g. register views, swap a
       * shadow table). */
@@ -342,6 +347,7 @@ object JobSpec {
         graft.apply.BatchApply.DefaultDeltaThreshold),
       maxDeltaChain = num(j \ "writer" \ "maxDeltaChain",
         graft.apply.BatchApply.DefaultMaxDeltaChain.toLong).toInt,
+      changelog = (j \ "writer" \ "changelog") == JBool(true),
       preSql = sqlList(j \ "writer" \ "preSql"),
       postSql = sqlList(j \ "writer" \ "postSql"),
       rebucketTo = (j \ "maintenance" \ "rebucket") match {

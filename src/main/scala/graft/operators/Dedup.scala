@@ -624,6 +624,76 @@ object Dedup {
         round(col("n_dup_positions").cast("double") / col("n_grams"), 6))
   }
 
+  /** PARAGRAPH-LEVEL keep-first dedup — the C4/RefinedWeb "line dedup"
+    * pass: every paragraph occurring more than once in the corpus is
+    * kept only at its FIRST occurrence (min (doc_id, position)) and
+    * removed everywhere else, then each document is rewritten from its
+    * surviving paragraphs. Complements [[dupSpans]] (which *scores*
+    * positional duplication) by actually performing the edit with
+    * global keep-first semantics. The corpus here has no newline
+    * structure, so paragraphs are disjoint `paraLen`-word windows; a
+    * real corpus passes its own boundary (split on '\n') — everything
+    * downstream of the explode is boundary-agnostic.
+    *
+    * Scale shape: ONE generator explodes paragraphs in the scan task;
+    * the keeper per paragraph is `min(struct(doc_id, pos))` — an
+    * AGGREGATE with map-side partials, not a window, so a boilerplate
+    * paragraph shared by millions of docs partial-aggregates inside
+    * each input partition instead of funneling into one window task;
+    * the equi-join back on the paragraph string is the only other
+    * shuffle. Rewritten text is assembled per doc from the kept
+    * paragraphs in position order (array_sort over (pos, para) structs
+    * — no second window). At 100 TB, join on `xxhash64(para)` instead
+    * of the string to cut shuffle weight (kept as the string so DuckDB
+    * verifies values).
+    *
+    * Output: (doc_id, n_paras, n_kept, kept_fraction, dedup_text). */
+  def paragraphDedup(docs: DataFrame, paraLen: Int): DataFrame = {
+    require(paraLen >= 1, s"paraLen=$paraLen")
+    val paras = Mat.materialize(docs
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(ws) - 1) DIV $paraLen),
+           |  k -> concat_ws(' ', slice(ws, CAST(k * $paraLen + 1 AS INT), $paraLen)))"""
+          .stripMargin)).as(Seq("pos", "para"))))
+    val keepers = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+    paras.join(keepers, Seq("para"))
+      .withColumn("keep", col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+          s => s.getField("para")), " ").as("dedup_text"))
+      .withColumn("kept_fraction",
+        round(col("n_kept").cast("double") / col("n_paras"), 6))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("kept_fraction"),
+        col("dedup_text"))
+  }
+
+  /** DuckDB oracle for [[paragraphDedup]] (keep-first = row_number 1
+    * over (doc_id, pos) per paragraph — identical to the min-struct
+    * keeper; string_agg with ORDER BY rebuilds the text; coalesce
+    * matches Spark's '' for fully-deduped docs). */
+  def paragraphDedupSql(tbl: String, paraLen: Int): String = {
+    val ws = Portable.wordsSql("text")
+    s"""WITH p AS (
+       |  SELECT doc_id, k::INT AS pos,
+       |    array_to_string(list_slice(ws, k * $paraLen + 1, k * $paraLen + $paraLen), ' ')
+       |      AS para
+       |  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) - 1) // $paraLen + 1)) AS k
+       |        FROM (SELECT doc_id, $ws AS ws FROM $tbl))),
+       |m AS (SELECT *, row_number() OVER (
+       |        PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep FROM p)
+       |SELECT doc_id, count(*)::BIGINT AS n_paras,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS kept_fraction,
+       |  coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS dedup_text
+       |FROM m GROUP BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[dupSpans]] over table/CTE `tbl`. */
   def dupSpansSql(tbl: String, n: Int, minDf: Int): String =
     s"""WITH g AS (

@@ -440,6 +440,91 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Unigram SURPRISAL quality scoring — the n-gram-LM quality filter of
+    * CCNet-style pipelines (rank documents by how "surprising" their
+    * words are under a corpus LM; gibberish and boilerplate sit at the
+    * extremes): each term occurrence contributes
+    * `bits(t) = len(bin(total_count DIV count(t)))` — the bit width of
+    * the integer inverse frequency, i.e. `floor(log2(total/cnt)) + 1`.
+    * Deliberately INTEGER-EXACT: a float `ln`-based perplexity differs
+    * across engines in the last ulp and sums in engine-specific order,
+    * while integer surprisals sum associatively — so Spark and the
+    * DuckDB oracle agree bit-for-bit (same trick as q58's raw-ratio
+    * idf). The ordering signal is the same as log-perplexity up to
+    * per-term rounding.
+    *
+    * Plan shape: explode -> (doc, term) hash-aggregate with map-side
+    * partials (tf, materialized once — it feeds the corpus counts AND
+    * the scoring join), term-count aggregate, equi-join on term, corpus
+    * total as a broadcast 1-row cross join, final per-doc aggregate.
+    * No window, no sort, no driver collect. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tf = Mat.materialize(docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(TermPattern), lit(0))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    tf.join(cnt, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bits", length(bin(expr("total DIV cnt"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_terms"), sum(col("tf") * col("bits")).as("bits_sum"))
+      .withColumn("mean_bits", round(col("bits_sum").cast("double") / col("n_terms"), 6))
+  }
+
+  /** DuckDB oracle for [[unigramSurprisal]] (`//` = integer division;
+    * `bin` is unpadded in both engines). */
+  def unigramSurprisalSql(tbl: String): String =
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TermPattern')) AS term
+       |           FROM $tbl),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, term),
+       |c AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+       |n AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+       |sc AS (SELECT tf.doc_id, tf.tf, length(bin(n.total // c.cnt))::BIGINT AS bits
+       |       FROM tf JOIN c USING (term) CROSS JOIN n)
+       |SELECT doc_id, sum(tf)::BIGINT AS n_terms, sum(tf * bits)::BIGINT AS bits_sum,
+       |  round(sum(tf * bits)::DOUBLE / sum(tf), 6) AS mean_bits
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Deterministic GLOBAL SHUFFLE into ordered training shards — the
+    * export step that randomizes document order before sequence packing
+    * / training (SGD wants an order uncorrelated with crawl order).
+    * Each doc draws a 32-bit hash; shard = range-bin of the draw
+    * (`draw * nShards DIV 2^32`), position = rank within the shard by
+    * (draw, doc_id). Because shards are RANGE bins of the draw, the
+    * concatenation shard 0, 1, ... in position order IS one global
+    * deterministic permutation — identical across engines, cluster
+    * sizes and re-shards (what `orderBy(rand())` loses), and stable
+    * enough to resume an interrupted export mid-shard.
+    *
+    * Scale shape: one exchange keyed by shard + per-shard sort (the
+    * window is PARTITIONED — never a global `WindowExec: No Partition
+    * Defined`); `nShards` bounds per-task rows (pick corpus/nShards ≈
+    * a few hundred MB). The draw hash is portable md5 so the DuckDB
+    * oracle checks the exact permutation. */
+  def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("draw"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        Portable.hash32(concat(lit("shuf#"), col("doc_id").cast("string"))).as("draw"))
+      .withColumn("shard", expr(s"(draw * $nShards) DIV 4294967296").cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** DuckDB oracle for [[shuffleShards]]. */
+  def shuffleShardsSql(tbl: String, nShards: Int): String = {
+    val draw = Portable.hash32Sql("'shuf#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, $draw AS draw FROM $tbl),
+       |s AS (SELECT doc_id, draw, ((draw * $nShards) // 4294967296)::INT AS shard FROM d)
+       |SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id)::INT AS pos
+       |FROM s""".stripMargin
+  }
+
   /** DuckDB oracle for [[tfidfTopK]]. */
   def tfidfTopKSql(tbl: String, k: Int): String =
     s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TermPattern')) AS term

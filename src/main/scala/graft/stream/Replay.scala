@@ -72,6 +72,7 @@ object Replay {
       assumeOrdered: Boolean = false,
       deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
       maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
+      changelog: Boolean = false,
       stopAfterBatches: Int = Int.MaxValue,
       transform: DataFrame => DataFrame = identity,
       quarantineDir: Option[String] = None,
@@ -134,7 +135,8 @@ object Replay {
             val batch = admission.map(_.admitted).getOrElse(cleanBatch)
             val snap = BatchApply.apply(table, batch, batchId, saltBuckets,
               assumeOrdered = assumeOrdered,
-              deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain)
+              deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
+              changelog = changelog)
             if (snap.batchId == batchId) {
               appliedRows += snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
               // index the admitted docs AFTER the lake commit: a crash in

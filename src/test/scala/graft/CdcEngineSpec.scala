@@ -139,4 +139,51 @@ class CdcEngineSpec extends AnyFunSuite {
       table.current.schema.fields.filterNot(_.name == "source"))
     intercept[IllegalArgumentException](table.evolveSchema(bad))
   }
+
+  test("change-data feed: readChanges = canonical batch changes; fenced + replayable") {
+    val log = ChangeLogGen.events(spark, cfg).cache()
+    val dir = tmpDir("graft-cdf")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 16)
+    val mid = cfg.nEvents / 2
+    val b1 = log.filter(col("lsn") <= mid)
+    val b2 = log.filter(col("lsn") > mid)
+    BatchApply.apply(table, b1, batchId = 0, changelog = true)
+    BatchApply.apply(table, b2, batchId = 1, changelog = true)
+
+    // incremental read of batch 1 == its canonical last-wins changes
+    val feed1 = table.readChanges(sinceBatchId = 0)
+    assert(feed1.select("batch_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    val expect = BatchApply.canonicalize(b2).select("doc_id", "lsn", "op")
+    assert(feed1.count() == expect.count())
+    assert(feed1.select("doc_id", "lsn", "op").exceptAll(expect).count() == 0)
+
+    // a retry of the committed batch is fenced BEFORE the feed write —
+    // the partition is not rewritten (mtime unchanged)
+    val part = new org.apache.hadoop.fs.Path(
+      s"$dir/table/${LakeTable.ChangelogDir}/batch_id=1")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp = fs.listStatus(part).map(_.getModificationTime).max
+    val before = stamp
+    BatchApply.apply(table, b2, batchId = 1, changelog = true)
+    assert(stamp == before)
+
+    // an uncommitted feed partition (crash between feed write and
+    // snapshot commit) is invisible: upper fence batch_id <= snapshot's
+    b2.limit(10)
+      .select(col("doc_id"), col("op"), col("lsn"), col("tokens"), col("n_tok"),
+        col("source"), col("lang"), col("shard"))
+      .write.parquet(s"$dir/table/${LakeTable.ChangelogDir}/batch_id=7")
+    assert(table.readChanges(sinceBatchId = -1)
+      .filter(col("batch_id") === 7).count() == 0)
+
+    // replaying the full feed into a second table reproduces the state
+    // (the feed is a complete, canonical change stream)
+    val t2 = Replay.createTable(spark, s"$dir/table2", nBuckets = 8)
+    BatchApply.apply(t2, table.readChanges(sinceBatchId = -1).drop("batch_id"), batchId = 0)
+    val a = table.read()
+    val b = t2.read()
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    log.unpersist()
+  }
 }

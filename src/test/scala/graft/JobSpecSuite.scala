@@ -150,6 +150,17 @@ class JobSpecSuite extends AnyFunSuite {
     }
   }
 
+  test("writer.changelog flag parses (change-data feed opt-in, default off)") {
+    val on = JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c", "changelog": true}}""".stripMargin)
+    assert(on.changelog)
+    val off = JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c"}}""".stripMargin)
+    assert(!off.changelog)
+  }
+
   test("sensitive config masking: *password*/*accessKey*/*secret* never print") {
     val json =
       """{"reader": {"jdbc": {"jdbcUrl": "jdbc:mysql://db/x", "username": "u",
