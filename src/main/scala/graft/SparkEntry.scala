@@ -620,6 +620,20 @@ object SparkEntry {
         .select(col("doc_id"), col("op"), col("lsn"),
           concat_ws(",", col("tokens")).as("tokens_csv"), col("n_tok"),
           col("source"), col("batch_id").cast("long").as("batch_id"))
+    }),
+
+    // TIME TRAVEL on the same lake fixture: read the table AS OF the
+    // snapshot that applied batch 0 — snapshot isolation means batch
+    // 1's changes are invisible there; the oracle recomputes batch 0's
+    // last-wins state (tombstones filtered) from the raw events
+    "q63_time_travel" -> ((s, dir) => {
+      queries("q62_lake_changelog")(s, dir).limit(0).count() // ensure fixture built
+      val table = graft.lake.LakeTable.load(s, lakeFixtures(dir))
+      val v0 = table.listVersions.find(v => table.snapshotAt(v).batchId == 0)
+        .getOrElse(sys.error("no snapshot with batchId=0"))
+      table.read(Some(table.snapshotAt(v0)))
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"))
     })
   )
 
@@ -1007,6 +1021,22 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, op, lsn, tokens_csv, n_tok, source, 1::BIGINT AS batch_id
-        |FROM w WHERE rn = 1""".stripMargin
+        |FROM w WHERE rn = 1""".stripMargin,
+
+    // q63: last-wins state of the batch-0 slice only (snapshot isolation
+    // — batch 1 invisible), delete-winners filtered like read()
+    "q63_time_travel" ->
+      """WITH b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |c AS (SELECT user_id AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::INT AS n_tok,
+        |        event_type AS source
+        |      FROM events, b WHERE event_id <= b.mid),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, tokens_csv, n_tok, source FROM w WHERE rn = 1 AND op <> 'D'"""
+        .stripMargin
   )
 }

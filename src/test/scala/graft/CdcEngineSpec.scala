@@ -186,4 +186,23 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     log.unpersist()
   }
+
+  test("pipeline chaining: a downstream table STREAM-tails the upstream's change feed") {
+    // CDC out -> CDC in with ZERO new machinery: the feed rows carry the
+    // ChangeLog schema, so the ordinary Replay file source points at
+    // `<tableA>/changelog` exactly as it points at a binlog directory —
+    // the otsstreamreader composability story (a job tailing another
+    // job's output table)
+    val dir = tmpDir("graft-chain")
+    val small = cfg.copy(nEvents = 6000, nSegments = 4)
+    ChangeLogGen.write(spark, small, s"$dir/log")
+    val a = Replay.replay(spark, s"$dir/log", s"$dir/ta", s"$dir/cpa",
+      nBuckets = 8, maxFilesPerTrigger = 1, changelog = true)
+    val b = Replay.replay(spark, s"$dir/ta/${LakeTable.ChangelogDir}", s"$dir/tb", s"$dir/cpb",
+      nBuckets = 8, maxFilesPerTrigger = 2)
+    val x = a.read()
+    val y = b.read()
+    assert(x.count() > 0 && x.count() == y.count())
+    assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0)
+  }
 }
