@@ -328,6 +328,19 @@ object Bench {
         Some(graft.model.DedupSpec(s"$work/dx-index-on", threshold = 0.8,
           n = 3, k = 16, bands = 4, maxBucketSize = 1000)))
 
+      // change-feed probe: the SAME replay with writer.changelog on —
+      // the per-batch cost of the extra O(batch) canonical-rows parquet
+      // write (dedup_off_sec is the exact no-feed baseline: same log,
+      // same trigger, same session)
+      val changelogOnSec = {
+        val sec = time(Replay.replay(sDx, s"$work/dxlog",
+          s"$work/cl-table", s"$work/cl-cp",
+          nBuckets = 64, maxFilesPerTrigger = dxPerTrigger, changelog = true))
+        Seq(s"$work/cl-table", s"$work/cl-cp").foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        sec
+      }
+
       def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
       cdcJson =
         s"""{"events":$benchEvents,"avg_tokens":${cfg.avgTokens},"shards":${cfg.nShards},""" +
@@ -343,7 +356,8 @@ object Bench {
         s""""skew_events":${skewCfg.nEvents},"skew_hot_per_mille":${skewCfg.hotPerMille},""" +
         s""""skew_unsalted_sec":${fmt(skewUnsalted)},"skew_salted_sec":${fmt(skewSalted)},""" +
         s""""dedup_events":$dedupEvents,"dedup_off_sec":${fmt(dedupOffSec)},""" +
-        s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped}"""
+        s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
+        s""""changelog_on_sec":${fmt(changelogOnSec)}}"""
     }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")

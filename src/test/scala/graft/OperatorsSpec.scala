@@ -682,4 +682,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(5) ==
       (r.getLong(3) * 3).toDouble / r.getLong(4)))
   }
+
+  test("paragraph dedup: keep-first across docs, text rebuilt in order, fully-duped doc empties") {
+    import spark.implicits._
+    // paraLen=2 -> paragraphs are disjoint word pairs
+    val d = Seq(
+      (1L, "a b c d"),        // paras: "a b", "c d"
+      (2L, "a b e f"),        // "a b" duplicates doc 1's first para
+      (3L, "a b c d")         // both paras duplicate doc 1 -> empties
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, paraLen = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getLong(2) == 2 && out(1).getString(4) == "a b c d") // all kept
+    assert(out(2).getLong(2) == 1 && out(2).getString(4) == "e f")    // first para removed
+    assert(out(3).getLong(2) == 0 && out(3).getString(4) == "")       // fully deduped
+    assert(out(3).getDouble(3) == 0.0 && out(1).getDouble(3) == 1.0)
+  }
+
+  test("unigram surprisal: rarer terms carry more bits, sums integer-exact") {
+    import spark.implicits._
+    // corpus: "x" appears 6 times, "q" once; total 7 terms
+    val d = Seq((1L, "x x x q"), (2L, "x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // bits(x) = len(bin(7 DIV 6)) = len("1") = 1; bits(q) = len(bin(7)) = len("111") = 3
+    assert(out(1).getLong(1) == 4 && out(1).getLong(2) == 3 * 1 + 1 * 3) // 6 bits
+    assert(out(2).getLong(1) == 3 && out(2).getLong(2) == 3)
+    assert(out(1).getDouble(3) == 1.5) // 6/4
+  }
+
+  test("shuffle shards: disjoint+exhaustive, contiguous per-shard positions, reshard-stable") {
+    val out = TextAnalysis.shuffleShards(docs, nShards = 4)
+    val n = docs.count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n) // exactly one shard per doc
+    // positions are 1..count(shard) within every shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(bad == 0)
+    // identical assignment under a different input partitioning
+    val again = TextAnalysis.shuffleShards(docs.repartition(17), nShards = 4)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
