@@ -182,6 +182,14 @@ object Bench {
       // doesn't absorb executor + scan initialization
       try spark1.read.parquet(s"$sfDir/lineitem.parquet").count()
       catch { case _: Throwable => () }
+      // untimed FIXTURE warmup: the round-trip queries build on-disk
+      // fixtures memoized per source dir (CSV dump, JSONL dump, the q62
+      // lake+changelog) — build them here so their timed numbers
+      // measure the declared READ path, not one-time setup
+      Seq("q25_csv_source", "q56_json_source", "q62_lake_changelog").foreach { q =>
+        try SparkEntry.queries(q)(spark1, sfDir).count()
+        catch { case _: Throwable => () }
+      }
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val sec = try time(fn(spark1, sfDir).count()) catch { case _: Throwable => -1.0 }
         name -> sec

@@ -627,7 +627,9 @@ object SparkEntry {
     // 1's changes are invisible there; the oracle recomputes batch 0's
     // last-wins state (tombstones filtered) from the raw events
     "q63_time_travel" -> ((s, dir) => {
-      queries("q62_lake_changelog")(s, dir).limit(0).count() // ensure fixture built
+      // invoking q62's lambda builds the memoized fixture eagerly (the
+      // applies are actions inside getOrElseUpdate); result discarded
+      val _ = queries("q62_lake_changelog")(s, dir)
       val table = graft.lake.LakeTable.load(s, lakeFixtures(dir))
       val v0 = table.listVersions.find(v => table.snapshotAt(v).batchId == 0)
         .getOrElse(sys.error("no snapshot with batchId=0"))

@@ -91,6 +91,27 @@ object BatchApply {
     * read-side resolution work). */
   val DefaultMaxDeltaChain = 4
 
+  /** The `assumeOrdered` input fence: drop events at-or-below the given
+    * per-shard watermarks (only sound when micro-batches arrive in
+    * per-shard lsn order — see [[apply]]). */
+  private def fenceByWatermarks(batch: DataFrame, wm: Map[Int, Long], on: Boolean): DataFrame =
+    if (!on || wm.isEmpty) batch else {
+      val wmMap = map(wm.toSeq.sortBy(_._1)
+        .flatMap { case (s, w) => Seq(lit(s), lit(w)) }: _*)
+      batch.filter(col("lsn") > coalesce(try_element_at(wmMap, col("shard")), lit(Long.MinValue)))
+    }
+
+  private def changelogPartition(table: LakeTable, batchId: Long): String =
+    s"${table.root}/${LakeTable.ChangelogDir}/batch_id=$batchId"
+
+  /** One feed partition = the batch's canonical payload rows (stats and
+    * bucket columns dropped). Batch-scoped overwrite => idempotent. */
+  private def writeChangelog(table: LakeTable, canonical: DataFrame, batchId: Long): Unit =
+    canonical
+      .select(col("doc_id"), col("op"), col("lsn"), col("tokens"), col("n_tok"),
+        col("source"), col("lang"), col("shard"))
+      .write.mode("overwrite").parquet(changelogPartition(table, batchId))
+
   /** Apply one micro-batch. Returns the committed (or current, if fenced)
     * snapshot.
     *
@@ -108,19 +129,35 @@ object BatchApply {
       maxDeltaChain: Int = DefaultMaxDeltaChain,
       changelog: Boolean = false): LakeTable.Snapshot = {
     var snap = table.current
-    // ---- exactly-once fence: retry of an already-committed batch
-    if (batchId >= 0 && batchId <= snap.batchId) return snap
+    // ---- exactly-once fence: retry of an already-committed batch.
+    //      With the feed enabled, heal the one crash window the
+    //      post-commit feed write leaves open (commit landed, feed
+    //      write didn't): only the JUST-committed batch can be in that
+    //      state — foreachBatch retries the in-flight batch, never
+    //      older ones — and the original run's input fence is
+    //      reproduced from the PARENT snapshot's watermarks (the state
+    //      that run saw; today's watermarks would drop everything).
+    if (batchId >= 0 && batchId <= snap.batchId) {
+      if (changelog && batchId == snap.batchId) {
+        val part = new org.apache.hadoop.fs.Path(changelogPartition(table, batchId))
+        val pfs = part.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!pfs.exists(part)) {
+          val parentWm = if (!assumeOrdered || snap.parent < 0) Map.empty[Int, Long]
+            else table.snapshotAt(snap.parent).watermarks
+          writeChangelog(table,
+            canonicalize(fenceByWatermarks(batch, parentWm, assumeOrdered), saltBuckets),
+            batchId)
+        }
+      }
+      return snap
+    }
 
     // ---- optional input fence: drop events at-or-below the shard
     //      watermark. ONLY sound when micro-batches are delivered in
     //      per-shard lsn order (e.g. an ordered queue source). The file
     //      source makes no such promise, so this is opt-in; the per-row
     //      lsn guard below is the unconditional correctness net.
-    val fenced = if (!assumeOrdered || snap.watermarks.isEmpty) batch else {
-      val wmMap = map(snap.watermarks.toSeq.sortBy(_._1)
-        .flatMap { case (s, w) => Seq(lit(s), lit(w)) }: _*)
-      batch.filter(col("lsn") > coalesce(try_element_at(wmMap, col("shard")), lit(Long.MinValue)))
-    }
+    val fenced = fenceByWatermarks(batch, snap.watermarks, assumeOrdered)
 
     val canonical = canonicalize(fenced, saltBuckets)
       .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
@@ -142,23 +179,6 @@ object BatchApply {
         batchId, r.getAs[Int]("shard"), r.getAs[Long]("minLsn"), r.getAs[Long]("maxLsn"), r.getAs[Long]("rows"))).toSeq
       val watermarks = stats.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("maxLsn")).toMap
 
-      // ---- opt-in change-data feed (the table as a CDC SOURCE — read
-      //      back via LakeTable.readChanges): the canonical rows are
-      //      exactly what this commit merges, so emitting them is one
-      //      O(batch) parquet write riding the already-persisted
-      //      canonical frame, never a post-hoc snapshot diff (O(table)).
-      //      Written BEFORE the snapshot commit and batch-scoped
-      //      overwrite, so a foreachBatch retry of a crash in between
-      //      rewrites the identical partition (idempotent), and readers
-      //      fence on batch_id <= snapshot.batchId to hide partitions
-      //      whose commit never landed.
-      if (changelog) {
-        canonical
-          .select(col("doc_id"), col("op"), col("lsn"), col("tokens"), col("n_tok"),
-            col("source"), col("lang"), col("shard"))
-          .write.mode("overwrite")
-          .parquet(s"${table.root}/${LakeTable.ChangelogDir}/batch_id=$batchId")
-      }
 
       // ---- manifest-level pruning + per-bucket change counts in one job
       val changedPerBucket = canonical.groupBy(col("bucket")).count()
@@ -243,7 +263,26 @@ object BatchApply {
           repartitionByBucket = !aligned).map(_.copy(delta = true))
       }
 
-      table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
+      val committed =
+        table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
+      // ---- opt-in change-data feed (the table as a CDC SOURCE — read
+      //      back via LakeTable.readChanges): the canonical rows are
+      //      exactly what this commit merged, so emitting them is one
+      //      O(batch) parquet write riding the already-persisted
+      //      canonical frame, never a post-hoc snapshot diff (O(table)).
+      //      Written AFTER the snapshot commit so a partition can only
+      //      ever hold a COMMITTED batch's changes (a downstream job
+      //      stream-tailing the directory never ingests rows the
+      //      upstream later disowns); the crash window this order opens
+      //      — commit landed, feed write didn't — is healed by the
+      //      batch's foreachBatch retry through the fence-path backfill
+      //      above (the streaming checkpoint only advances after this
+      //      function returns, so the retry is guaranteed). Live
+      //      tailers are at-least-once per file during a mid-write
+      //      crash+rewrite; the snapshot-fenced readChanges is the
+      //      exactly-once consumption surface.
+      if (changelog) writeChangelog(table, canonical, batchId)
+      committed
     } finally canonical.unpersist(false)
   }
 }

@@ -451,10 +451,12 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * (`changelog = true` — writing change files costs one extra
     * O(batch) parquet write per commit; diffing COW snapshots after the
     * fact would cost O(table)). Reads prune to the requested batch_id
-    * partitions, and the upper fence `batch_id <= current.batchId`
-    * hides any feed partition whose commit never landed (a crash
-    * between feed write and snapshot commit leaves an uncommitted
-    * partition; its batch retry overwrites it before committing). */
+    * partitions. Feed partitions are written AFTER the snapshot commit
+    * (with a fenced-retry backfill for the crash window — see
+    * [[graft.apply.BatchApply]]), so a partition only ever holds a
+    * committed batch's changes; the `batch_id <= current.batchId`
+    * fence here is defense in depth against foreign/partial files
+    * dropped into the directory. */
   def readChanges(sinceBatchId: Long = -1L): DataFrame = {
     val dir = new Path(root, ChangelogDir)
     require(fs.exists(dir),
@@ -667,9 +669,29 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * races), then delete data files no retained snapshot references
     * (crash debris, superseded COW files) and prune emptied
     * commit/bucket directories. Time travel remains valid exactly for
-    * the retained snapshots. */
-  def vacuum(retainLast: Int = 1): Unit = {
+    * the retained snapshots.
+    *
+    * `changelogRetainBatches >= 0` additionally expires change-feed
+    * partitions with `batch_id <= current.batchId -
+    * changelogRetainBatches` (the feed otherwise grows one partition
+    * per micro-batch forever). Retention is the downstream-consumer
+    * contract: expire only past the oldest `sinceBatchId` any consumer
+    * may still ask for — an incremental reader requesting an expired
+    * range silently misses those batches, exactly like an expired
+    * Kafka retention window. Default -1 keeps everything. */
+  def vacuum(retainLast: Int = 1, changelogRetainBatches: Long = -1L): Unit = {
     require(retainLast >= 1, s"vacuum retainLast=$retainLast must be >= 1")
+    if (changelogRetainBatches >= 0) {
+      val clDir = new Path(root, ChangelogDir)
+      if (fs.exists(clDir)) {
+        val cutoff = current.batchId - changelogRetainBatches
+        fs.listStatus(clDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
     val versions = listVersions
     val snaps = versions.takeRight(retainLast).map(snapshotAt)
     val referenced = snaps.flatMap(_.files).map(f => new Path(root, f.path).toUri.getPath).toSet

@@ -157,8 +157,8 @@ class CdcEngineSpec extends AnyFunSuite {
     assert(feed1.count() == expect.count())
     assert(feed1.select("doc_id", "lsn", "op").exceptAll(expect).count() == 0)
 
-    // a retry of the committed batch is fenced BEFORE the feed write —
-    // the partition is not rewritten (mtime unchanged)
+    // a fenced retry of the committed batch does NOT rewrite an
+    // existing feed partition (mtime unchanged)
     val part = new org.apache.hadoop.fs.Path(
       s"$dir/table/${LakeTable.ChangelogDir}/batch_id=1")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -166,6 +166,14 @@ class CdcEngineSpec extends AnyFunSuite {
     val before = stamp
     BatchApply.apply(table, b2, batchId = 1, changelog = true)
     assert(stamp == before)
+
+    // crash window heal: feed is written AFTER the commit, so "commit
+    // landed, feed missing" is repaired by the batch's fenced retry
+    fs.delete(part, true)
+    BatchApply.apply(table, b2, batchId = 1, changelog = true)
+    val refilled = table.readChanges(sinceBatchId = 0)
+    assert(refilled.count() == expect.count())
+    assert(refilled.select("doc_id", "lsn", "op").exceptAll(expect).count() == 0)
 
     // an uncommitted feed partition (crash between feed write and
     // snapshot commit) is invisible: upper fence batch_id <= snapshot's
@@ -184,6 +192,14 @@ class CdcEngineSpec extends AnyFunSuite {
     val b = t2.read()
     assert(a.count() == b.count())
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+
+    // feed retention: vacuum expires partitions past the window
+    // (cutoff = current.batchId - retain), keeps the recent ones
+    table.vacuum(retainLast = 1, changelogRetainBatches = 1)
+    val clDir = new org.apache.hadoop.fs.Path(s"$dir/table/${LakeTable.ChangelogDir}")
+    val names = fs.listStatus(clDir).map(_.getPath.getName).toSet
+    assert(!names.contains("batch_id=0") && names.contains("batch_id=1"))
+    assert(table.readChanges(sinceBatchId = 0).count() == expect.count())
     log.unpersist()
   }
 
