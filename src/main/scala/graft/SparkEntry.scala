@@ -626,6 +626,12 @@ object SparkEntry {
     // snapshot that applied batch 0 — snapshot isolation means batch
     // 1's changes are invisible there; the oracle recomputes batch 0's
     // last-wins state (tombstones filtered) from the raw events
+    // C4/Gopher-style composite quality filter: per-rule explainable
+    // booleans + conjunction keep, one codegen-fused projection (the
+    // first gate of every training pipeline, at scan speed)
+    "q64_quality_filter" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+
     "q63_time_travel" -> ((s, dir) => {
       // invoking q62's lambda builds the memoized fixture eagerly (the
       // applies are actions inside getOrElseUpdate); result discarded
@@ -1039,6 +1045,9 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, tokens_csv, n_tok, source FROM w WHERE rn = 1 AND op <> 'D'"""
-        .stripMargin
+        .stripMargin,
+
+    "q64_quality_filter" ->
+      graft.operators.TextAnalysis.qualityFilterSql("documents")
   )
 }

@@ -142,8 +142,14 @@ object BatchApply {
         val part = new org.apache.hadoop.fs.Path(changelogPartition(table, batchId))
         val pfs = part.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
         if (!pfs.exists(part)) {
+          // a vacuum between commit and retry may have expired the
+          // parent descriptor: fall back to no input fence — the feed
+          // then over-delivers already-applied rows, which every
+          // consumer's per-row lsn guard absorbs (vs. failing the
+          // stream, or today's watermarks, which would drop everything)
           val parentWm = if (!assumeOrdered || snap.parent < 0) Map.empty[Int, Long]
-            else table.snapshotAt(snap.parent).watermarks
+            else try table.snapshotAt(snap.parent).watermarks
+            catch { case _: Exception => Map.empty[Int, Long] }
           writeChangelog(table,
             canonicalize(fenceByWatermarks(batch, parentWm, assumeOrdered), saltBuckets),
             batchId)

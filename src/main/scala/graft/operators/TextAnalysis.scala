@@ -395,6 +395,64 @@ object TextAnalysis {
        |FROM (SELECT doc_id, $ws AS ws, $g2 AS g2 FROM $tbl)""".stripMargin
   }
 
+  /** Composite QUALITY FILTER — the C4/Gopher-style rule pass every
+    * training pipeline runs as its first gate: each heuristic emits an
+    * explainable per-rule boolean, `keep` is their conjunction, and
+    * every signal rides one codegen-fused projection (ZERO shuffles —
+    * filtering at scan speed on 100 TB, like [[qualityScores]]). Rules
+    * (thresholds are the knobs; defaults tuned so both outcomes occur
+    * on the synthetic corpus):
+    *  - `r_len`: word count in [minWords, maxWords] (fragments and
+    *    concatenation blobs out);
+    *  - `r_stop`: stopword ratio >= minStopRatio (natural language has
+    *    function words; code/tables/gibberish mostly don't);
+    *  - `r_punct`: punctuation ratio <= maxPunctRatio (markup/ASCII-art
+    *    out);
+    *  - `r_dup`: duplicate-word ratio <= maxDupRatio (keyword stuffing
+    *    and degenerate generations out). */
+  def qualityFilter(docs: DataFrame, minWords: Int = 20, maxWords: Int = 10000,
+      minStopRatio: Double = 0.02, maxPunctRatio: Double = 0.2,
+      maxDupRatio: Double = 0.6): DataFrame = {
+    val staged = docs.select(col("doc_id"), col("text"), Portable.words(col("text")).as("ws"))
+    staged.select(
+      col("doc_id"),
+      size(col("ws")).as("n_words"),
+      round(size(filter(col("ws"), w =>
+        array_contains(array(Seq("the", "a", "of", "and", "to").map(lit): _*), w)))
+        .cast("double") / size(col("ws")), 6).as("stop_ratio"),
+      round(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("double") / length(col("text")), 6).as("punct_ratio"),
+      round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6)
+        .as("dup_word_ratio"))
+      .withColumn("r_len", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_stop", col("stop_ratio") >= minStopRatio)
+      .withColumn("r_punct", col("punct_ratio") <= maxPunctRatio)
+      .withColumn("r_dup", col("dup_word_ratio") <= maxDupRatio)
+      .withColumn("keep", col("r_len") && col("r_stop") && col("r_punct") && col("r_dup"))
+  }
+
+  /** DuckDB oracle for [[qualityFilter]]. */
+  def qualityFilterSql(tbl: String, minWords: Int = 20, maxWords: Int = 10000,
+      minStopRatio: Double = 0.02, maxPunctRatio: Double = 0.2,
+      maxDupRatio: Double = 0.6): String = {
+    val ws = Portable.wordsSql("text")
+    s"""SELECT doc_id, n_words, stop_ratio, punct_ratio, dup_word_ratio,
+       |  (n_words >= $minWords AND n_words <= $maxWords) AS r_len,
+       |  (stop_ratio >= $minStopRatio) AS r_stop,
+       |  (punct_ratio <= $maxPunctRatio) AS r_punct,
+       |  (dup_word_ratio <= $maxDupRatio) AS r_dup,
+       |  ((n_words >= $minWords AND n_words <= $maxWords) AND stop_ratio >= $minStopRatio
+       |   AND punct_ratio <= $maxPunctRatio AND dup_word_ratio <= $maxDupRatio) AS keep
+       |FROM (
+       |  SELECT doc_id, len(ws)::INT AS n_words,
+       |    round(len(list_filter(ws, w -> list_contains(['the','a','of','and','to'], w)))::DOUBLE
+       |      / len(ws), 6) AS stop_ratio,
+       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text), 6)
+       |      AS punct_ratio,
+       |    round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_ratio
+       |  FROM (SELECT doc_id, text, $ws AS ws FROM $tbl))""".stripMargin
+  }
+
   /** Term pattern for [[tfidfTopK]]: alphanumeric runs over lower-cased
     * text (punctuation excluded — symbols carry no salience and would
     * dominate raw-ratio idf on short docs). */

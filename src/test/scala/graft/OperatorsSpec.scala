@@ -711,6 +711,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) == 1.5) // 6/4
   }
 
+  test("quality filter: per-rule booleans explain each drop, conjunction keeps") {
+    import spark.implicits._
+    val good = ((1 to 25).map(i => s"w$i") ++ Seq("the", "a", "of")).mkString(" ")
+    val stuffed = (Seq.fill(30)("buy") :+ "the").mkString(" ")
+    val puncty = good + " " + Seq.fill(2)((1 to 10).map(_ => "!#$").mkString(" ")).mkString(" ")
+    val d = Seq((1L, good), (2L, "the a"), (3L, stuffed), (4L, puncty))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Boolean]("keep"))
+    assert(!out(2).getAs[Boolean]("r_len") && !out(2).getAs[Boolean]("keep"))
+    assert(!out(3).getAs[Boolean]("r_dup") && out(3).getAs[Boolean]("r_stop")
+      && !out(3).getAs[Boolean]("keep"))
+    assert(!out(4).getAs[Boolean]("r_punct") && out(4).getAs[Boolean]("r_len")
+      && !out(4).getAs[Boolean]("keep"))
+  }
+
   test("shuffle shards: disjoint+exhaustive, contiguous per-shard positions, reshard-stable") {
     val out = TextAnalysis.shuffleShards(docs, nShards = 4)
     val n = docs.count()
