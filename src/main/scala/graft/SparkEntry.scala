@@ -626,12 +626,6 @@ object SparkEntry {
     // snapshot that applied batch 0 — snapshot isolation means batch
     // 1's changes are invisible there; the oracle recomputes batch 0's
     // last-wins state (tombstones filtered) from the raw events
-    // C4/Gopher-style composite quality filter: per-rule explainable
-    // booleans + conjunction keep, one codegen-fused projection (the
-    // first gate of every training pipeline, at scan speed)
-    "q64_quality_filter" -> ((s, dir) =>
-      graft.operators.TextAnalysis.qualityFilter(t(s, dir, "documents"))),
-
     "q63_time_travel" -> ((s, dir) => {
       // invoking q62's lambda builds the memoized fixture eagerly (the
       // applies are actions inside getOrElseUpdate); result discarded
@@ -642,7 +636,13 @@ object SparkEntry {
       table.read(Some(table.snapshotAt(v0)))
         .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
           col("n_tok"), col("source"))
-    })
+    }),
+
+    // C4/Gopher-style composite quality filter: per-rule explainable
+    // booleans + conjunction keep, one codegen-fused projection (the
+    // first gate of every training pipeline, at scan speed)
+    "q64_quality_filter" -> ((s, dir) =>
+      graft.operators.TextAnalysis.qualityFilter(t(s, dir, "documents")))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */

@@ -104,13 +104,43 @@ object BatchApply {
   private def changelogPartition(table: LakeTable, batchId: Long): String =
     s"${table.root}/${LakeTable.ChangelogDir}/batch_id=$batchId"
 
-  /** One feed partition = the batch's canonical payload rows (stats and
-    * bucket columns dropped). Batch-scoped overwrite => idempotent. */
-  private def writeChangelog(table: LakeTable, canonical: DataFrame, batchId: Long): Unit =
+  /** Staging dir for a feed partition: dot-prefixed, so parquet readers
+    * and live directory tailers ignore it until publication. */
+  private[graft] def stagedChangelog(table: LakeTable, batchId: Long): String =
+    s"${table.root}/${LakeTable.ChangelogDir}/.staged-batch_id=$batchId"
+
+  /** STAGE the batch's feed partition (canonical payload rows; stats
+    * and bucket columns dropped) before the snapshot commit.
+    * Batch-scoped overwrite => a retry that re-stages is idempotent. */
+  private def stageChangelog(table: LakeTable, canonical: DataFrame, batchId: Long): Unit =
     canonical
       .select(col("doc_id"), col("op"), col("lsn"), col("tokens"), col("n_tok"),
         col("source"), col("lang"), col("shard"))
-      .write.mode("overwrite").parquet(changelogPartition(table, batchId))
+      .write.mode("overwrite").parquet(stagedChangelog(table, batchId))
+
+  /** PUBLISH a staged feed partition with one atomic directory rename
+    * (the same primitive as the snapshot-descriptor commit): live
+    * tailers see either no partition or the complete one — never a
+    * partial write, and never rows of an uncommitted batch (staging
+    * happens before the commit, publication after). Public because
+    * [[graft.stream.Replay]]'s fenced-retry path calls it to heal the
+    * commit-landed/publish-missing crash window — the staged content
+    * is EXACTLY what the committed run produced from its own input
+    * (transforms, dirty routing, dedup admission included), so the
+    * heal is a metadata op, never a recomputation. No-op when already
+    * published or never staged. */
+  def publishChangelog(table: LakeTable, batchId: Long): Unit = {
+    val conf = table.spark.sparkContext.hadoopConfiguration
+    val staged = new org.apache.hadoop.fs.Path(stagedChangelog(table, batchId))
+    val fin = new org.apache.hadoop.fs.Path(changelogPartition(table, batchId))
+    val fs = fin.getFileSystem(conf)
+    if (fs.exists(fin)) {
+      if (fs.exists(staged)) fs.delete(staged, true) // republish race debris
+    } else if (fs.exists(staged)) {
+      if (!fs.rename(staged, fin))
+        throw new IllegalStateException(s"changelog publish rename failed for batch $batchId")
+    }
+  }
 
   /** Apply one micro-batch. Returns the committed (or current, if fenced)
     * snapshot.
@@ -130,31 +160,12 @@ object BatchApply {
       changelog: Boolean = false): LakeTable.Snapshot = {
     var snap = table.current
     // ---- exactly-once fence: retry of an already-committed batch.
-    //      With the feed enabled, heal the one crash window the
-    //      post-commit feed write leaves open (commit landed, feed
-    //      write didn't): only the JUST-committed batch can be in that
-    //      state — foreachBatch retries the in-flight batch, never
-    //      older ones — and the original run's input fence is
-    //      reproduced from the PARENT snapshot's watermarks (the state
-    //      that run saw; today's watermarks would drop everything).
+    //      With the feed enabled, the only changelog work possibly left
+    //      undone is PUBLICATION (the staged partition was written
+    //      before that batch's commit; a crash between commit and
+    //      publish leaves it staged) — heal with the same atomic rename.
     if (batchId >= 0 && batchId <= snap.batchId) {
-      if (changelog && batchId == snap.batchId) {
-        val part = new org.apache.hadoop.fs.Path(changelogPartition(table, batchId))
-        val pfs = part.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!pfs.exists(part)) {
-          // a vacuum between commit and retry may have expired the
-          // parent descriptor: fall back to no input fence — the feed
-          // then over-delivers already-applied rows, which every
-          // consumer's per-row lsn guard absorbs (vs. failing the
-          // stream, or today's watermarks, which would drop everything)
-          val parentWm = if (!assumeOrdered || snap.parent < 0) Map.empty[Int, Long]
-            else try table.snapshotAt(snap.parent).watermarks
-            catch { case _: Exception => Map.empty[Int, Long] }
-          writeChangelog(table,
-            canonicalize(fenceByWatermarks(batch, parentWm, assumeOrdered), saltBuckets),
-            batchId)
-        }
-      }
+      if (changelog && batchId == snap.batchId) publishChangelog(table, batchId)
       return snap
     }
 
@@ -269,25 +280,24 @@ object BatchApply {
           repartitionByBucket = !aligned).map(_.copy(delta = true))
       }
 
-      val committed =
-        table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
       // ---- opt-in change-data feed (the table as a CDC SOURCE — read
       //      back via LakeTable.readChanges): the canonical rows are
-      //      exactly what this commit merged, so emitting them is one
+      //      exactly what this commit merges, so emitting them is one
       //      O(batch) parquet write riding the already-persisted
       //      canonical frame, never a post-hoc snapshot diff (O(table)).
-      //      Written AFTER the snapshot commit so a partition can only
-      //      ever hold a COMMITTED batch's changes (a downstream job
-      //      stream-tailing the directory never ingests rows the
-      //      upstream later disowns); the crash window this order opens
-      //      — commit landed, feed write didn't — is healed by the
-      //      batch's foreachBatch retry through the fence-path backfill
-      //      above (the streaming checkpoint only advances after this
-      //      function returns, so the retry is guaranteed). Live
-      //      tailers are at-least-once per file during a mid-write
-      //      crash+rewrite; the snapshot-fenced readChanges is the
-      //      exactly-once consumption surface.
-      if (changelog) writeChangelog(table, canonical, batchId)
+      //      STAGE (hidden dot-dir) before the commit, PUBLISH (one
+      //      atomic rename) after it: a visible partition therefore
+      //      only ever holds a COMMITTED batch's COMPLETE changes — a
+      //      live tailer never sees partial writes or rows the upstream
+      //      later disowns. The commit-landed/publish-missing crash
+      //      window is healed by the batch's retry (the fence path
+      //      above, reached via Replay's fenced branch) with the same
+      //      rename — a metadata op on the already-staged content,
+      //      never a recomputation.
+      if (changelog) stageChangelog(table, canonical, batchId)
+      val committed =
+        table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
+      if (changelog) publishChangelog(table, batchId)
       committed
     } finally canonical.unpersist(false)
   }

@@ -451,12 +451,13 @@ class LakeTable(val spark: SparkSession, val root: String) {
     * (`changelog = true` — writing change files costs one extra
     * O(batch) parquet write per commit; diffing COW snapshots after the
     * fact would cost O(table)). Reads prune to the requested batch_id
-    * partitions. Feed partitions are written AFTER the snapshot commit
-    * (with a fenced-retry backfill for the crash window — see
-    * [[graft.apply.BatchApply]]), so a partition only ever holds a
-    * committed batch's changes; the `batch_id <= current.batchId`
-    * fence here is defense in depth against foreign/partial files
-    * dropped into the directory. */
+    * partitions. Feed partitions are STAGED (hidden dot-dir) before
+    * the snapshot commit and PUBLISHED with one atomic rename after it
+    * (fenced retries re-run the rename — see [[graft.apply.BatchApply
+    * .publishChangelog]]), so a visible partition only ever holds a
+    * committed batch's complete changes; the `batch_id <=
+    * current.batchId` fence here is defense in depth against foreign
+    * files dropped into the directory. */
   def readChanges(sinceBatchId: Long = -1L): DataFrame = {
     val dir = new Path(root, ChangelogDir)
     require(fs.exists(dir),
@@ -684,10 +685,17 @@ class LakeTable(val spark: SparkSession, val root: String) {
     if (changelogRetainBatches >= 0) {
       val clDir = new Path(root, ChangelogDir)
       if (fs.exists(clDir)) {
-        val cutoff = current.batchId - changelogRetainBatches
+        val applied = current.batchId
+        val cutoff = applied - changelogRetainBatches
         fs.listStatus(clDir).foreach { st =>
           val n = st.getPath.getName
           if (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= cutoff)
+            fs.delete(st.getPath, true)
+          // staged debris: a committed batch's staging dir is renamed
+          // (or deleted) at publish, so anything still staged at or
+          // below the applied watermark is a crashed attempt's leftover
+          else if (n.startsWith(".staged-batch_id=") &&
+              n.stripPrefix(".staged-batch_id=").toLong <= applied)
             fs.delete(st.getPath, true)
         }
       }

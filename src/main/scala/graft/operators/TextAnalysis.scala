@@ -15,11 +15,20 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** English function words — ONE list shared by [[langId]]'s en
+    * markers, [[qualityScores]], [[qualityFilter]] and their SQL
+    * mirrors, so editing it cannot desynchronize an operator from its
+    * oracle. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** The same list as a DuckDB array literal. */
+  val EnStopwordsSql: String = EnStopwords.mkString("['", "','", "']")
+
   /** Marker stopwords per language, alphabetical by language code.
     * (zh has no whitespace-delimited markers — it simply never wins.) */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
-    "en" -> Seq("the", "a", "of", "and", "to"),
+    "en" -> EnStopwords,
     "es" -> Seq("el", "y", "que", "los", "una"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq.empty)
@@ -108,7 +117,7 @@ object TextAnalysis {
     * word length — the usual cheap pre-filters for training corpora. */
   def qualityScores(docs: DataFrame): DataFrame = {
     val ws = Portable.words(col("text"))
-    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val stop = array(EnStopwords.map(lit): _*)
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
@@ -418,10 +427,12 @@ object TextAnalysis {
       col("doc_id"),
       size(col("ws")).as("n_words"),
       round(size(filter(col("ws"), w =>
-        array_contains(array(Seq("the", "a", "of", "and", "to").map(lit): _*), w)))
+        array_contains(array(EnStopwords.map(lit): _*), w)))
         .cast("double") / size(col("ws")), 6).as("stop_ratio"),
-      round(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
-        .cast("double") / length(col("text")), 6).as("punct_ratio"),
+      // empty text would divide 0/0 (Spark NULL vs DuckDB NaN) — pin 0.0
+      when(length(col("text")) === 0, lit(0.0)).otherwise(
+        round(size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / length(col("text")), 6)).as("punct_ratio"),
       round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6)
         .as("dup_word_ratio"))
       .withColumn("r_len", col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -445,10 +456,11 @@ object TextAnalysis {
        |   AND punct_ratio <= $maxPunctRatio AND dup_word_ratio <= $maxDupRatio) AS keep
        |FROM (
        |  SELECT doc_id, len(ws)::INT AS n_words,
-       |    round(len(list_filter(ws, w -> list_contains(['the','a','of','and','to'], w)))::DOUBLE
+       |    round(len(list_filter(ws, w -> list_contains($EnStopwordsSql, w)))::DOUBLE
        |      / len(ws), 6) AS stop_ratio,
-       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text), 6)
-       |      AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+       |                / length(text), 6) END AS punct_ratio,
        |    round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 6) AS dup_word_ratio
        |  FROM (SELECT doc_id, text, $ws AS ws FROM $tbl))""".stripMargin
   }

@@ -120,6 +120,11 @@ object Replay {
         // quarantine write is additionally idempotent per batch
         // (batch-scoped overwrite path in DirtyRouter).
         val fenced = batchId >= 0 && batchId <= table.current.batchId
+        // feed-publication heal on fenced retries: BatchApply is not
+        // re-entered for an already-committed batch, so the staged
+        // changelog partition (written before that batch's commit) is
+        // renamed live HERE if the crash hit between commit and publish
+        if (fenced && changelog) BatchApply.publishChangelog(table, batchId)
         val split =
           if (fenced || !routeDirty) None
           else Some(graft.apply.DirtyRouter.route(

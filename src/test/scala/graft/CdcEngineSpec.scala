@@ -167,10 +167,17 @@ class CdcEngineSpec extends AnyFunSuite {
     BatchApply.apply(table, b2, batchId = 1, changelog = true)
     assert(stamp == before)
 
-    // crash window heal: feed is written AFTER the commit, so "commit
-    // landed, feed missing" is repaired by the batch's fenced retry
-    fs.delete(part, true)
+    // crash window heal: the feed is STAGED before the commit and
+    // PUBLISHED (atomic rename) after it. Simulate "commit landed,
+    // publish didn't" by un-publishing the partition back to its
+    // staged name; the fenced retry re-runs the rename — a metadata
+    // op over the exact content the committed run staged.
+    val staged = new org.apache.hadoop.fs.Path(
+      BatchApply.stagedChangelog(table, 1))
+    assert(fs.rename(part, staged))
+    assert(table.readChanges(sinceBatchId = 0).count() == 0) // staged dir invisible
     BatchApply.apply(table, b2, batchId = 1, changelog = true)
+    assert(fs.exists(part) && !fs.exists(staged))
     val refilled = table.readChanges(sinceBatchId = 0)
     assert(refilled.count() == expect.count())
     assert(refilled.select("doc_id", "lsn", "op").exceptAll(expect).count() == 0)
