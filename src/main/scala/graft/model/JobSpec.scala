@@ -31,7 +31,8 @@ trait RecordsTransformer {
  * Example:
  * {{{
  * {
- *   "reader":  { "logDir": "/data/binlog" },
+ *   "reader":  { "logDir": "/data/binlog" },   // or { "table": "/data/upstream_store" }
+ *                                              // to tail that table's change feed
  *   "writer":  { "tableDir": "/data/doc_store", "checkpointDir": "/data/cp",
  *                "nBuckets": 256, "saltBuckets": 1 },
  *   "transformers": [
@@ -323,8 +324,15 @@ object JobSpec {
     }
 
     JobSpec(
-      logDir = str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
-        throw new IllegalArgumentException("reader needs logDir or jdbc block")),
+      // `reader.table` = consume another LakeTable's change feed (the
+      // job-spec surface of CDC chaining): the feed rows carry the
+      // ChangeLog schema, so it is exactly a binlog dir to the replay
+      logDir = (j \ "reader" \ "table") match {
+        case JString(tableDir) =>
+          s"$tableDir/${graft.lake.LakeTable.ChangelogDir}"
+        case _ => str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
+          throw new IllegalArgumentException("reader needs logDir, table or jdbc block"))
+      },
       assumeOrdered = (j \ "reader" \ "assumeOrdered") == JBool(true),
       tableDir = str(j \ "writer" \ "tableDir",
         if (jdbcWriter.isDefined || fileWriter.isDefined) ""

@@ -210,6 +210,33 @@ class CdcEngineSpec extends AnyFunSuite {
     log.unpersist()
   }
 
+  test("feed-replay equivalence: any batch partitioning reconstructs the table from its feed") {
+    // the change feed is a COMPLETE canonical change stream: however
+    // the replay happened to be micro-batched, replaying the feed into
+    // a fresh table (even with a different bucket count) reproduces
+    // the exact state — 3 seeded random batch partitionings
+    val n = 4000L
+    val log = ChangeLogGen.events(spark, cfg.copy(nEvents = n)).cache()
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val cuts = (Seq(0L, n) ++ Seq.fill(3)(rnd.nextInt(n.toInt).toLong)).distinct.sorted
+      val dir = tmpDir(s"graft-feedprop-$seed")
+      val t1 = Replay.createTable(spark, s"$dir/t1", nBuckets = 8)
+      cuts.sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          BatchApply.apply(t1, log.filter(col("lsn") > lo && col("lsn") <= hi),
+            batchId = i, changelog = true)
+        case _ => ()
+      }
+      val t2 = Replay.createTable(spark, s"$dir/t2", nBuckets = 4)
+      BatchApply.apply(t2, t1.readChanges(sinceBatchId = -1).drop("batch_id"), batchId = 0)
+      val (x, y) = (t1.read(), t2.read())
+      assert(x.count() == y.count(), s"seed $seed row count")
+      assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0, s"seed $seed state")
+    }
+    log.unpersist()
+  }
+
   test("pipeline chaining: a downstream table STREAM-tails the upstream's change feed") {
     // CDC out -> CDC in with ZERO new machinery: the feed rows carry the
     // ChangeLog schema, so the ordinary Replay file source points at

@@ -150,6 +150,24 @@ class JobSpecSuite extends AnyFunSuite {
     }
   }
 
+  test("reader.table block: a chained job consumes another table's change feed") {
+    val dir = tmpDir("graft-readertable")
+    ChangeLogGen.write(spark, GenConfig(nEvents = 1500, nDocs = 300, nShards = 2,
+      nSegments = 2, evolveAtLsn = Long.MaxValue), s"$dir/log")
+    val a = Replay.replay(spark, s"$dir/log", s"$dir/ta", s"$dir/cpa",
+      nBuckets = 4, changelog = true)
+    val spec = JobSpec.parse(
+      s"""{"reader": {"table": "$dir/ta"},
+         | "writer": {"tableDir": "$dir/tb", "checkpointDir": "$dir/cpb",
+         |            "nBuckets": 4}}""".stripMargin)
+    assert(spec.logDir == s"$dir/ta/changelog")
+    val b = Replay.replay(spark, spec.logDir, spec.tableDir, spec.checkpointDir,
+      nBuckets = spec.nBuckets)
+    val (x, y) = (a.read(), b.read())
+    assert(x.count() > 0 && x.count() == y.count())
+    assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0)
+  }
+
   test("writer.changelog flag parses (change-data feed opt-in, default off)") {
     val on = JobSpec.parse(
       """{"reader": {"logDir": "/l"},
