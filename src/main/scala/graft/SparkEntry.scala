@@ -642,7 +642,23 @@ object SparkEntry {
     // booleans + conjunction keep, one codegen-fused projection (the
     // first gate of every training pipeline, at scan speed)
     "q64_quality_filter" -> ((s, dir) =>
-      graft.operators.TextAnalysis.qualityFilter(t(s, dir, "documents")))
+      graft.operators.TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+
+    // audio segmentation (the ASR/captioning sharding step): each audio
+    // asset fans out to 30 s windows every 25 s (overlap), trailing
+    // window clipped, exact sample counts — one generator, no shuffle
+    "q65_audio_segments" -> ((s, dir) =>
+      graft.operators.Multimodal.audioSegments(
+        graft.operators.Multimodal.audioMetadata(t(s, dir, "documents")),
+        segMs = 30000L, strideMs = 25000L)),
+
+    // ViT-style image patch grid: each image asset fans out to its
+    // 256x256 tile index (edge tiles clipped; tiles exactly cover the
+    // image — spec-asserted) — one generator, no shuffle
+    "q66_image_patches" -> ((s, dir) =>
+      graft.operators.Multimodal.imagePatches(
+        graft.operators.Multimodal.decodedMetadata(t(s, dir, "documents")),
+        patch = 256))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1048,6 +1064,12 @@ object SparkEntry {
         .stripMargin,
 
     "q64_quality_filter" ->
-      graft.operators.TextAnalysis.qualityFilterSql("documents")
+      graft.operators.TextAnalysis.qualityFilterSql("documents"),
+
+    "q65_audio_segments" ->
+      graft.operators.Multimodal.audioSegmentsSql(segMs = 30000L, strideMs = 25000L),
+
+    "q66_image_patches" ->
+      graft.operators.Multimodal.imagePatchesSql(patch = 256)
   )
 }

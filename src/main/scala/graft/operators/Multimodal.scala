@@ -155,4 +155,104 @@ object Multimodal {
        |FROM (SELECT d.*, unnest(range(0, n_frames)) AS frame_no
        |      FROM (${decodedMetadataSql.replace("\n", "\n      ")}) d
        |      WHERE media_type = 'video')""".stripMargin
+
+  /** Audio metadata (sample rate + duration) for the corpus's audio
+    * assets — the same honest-stub convention as [[decodedMetadata]]:
+    * a real audio demuxer supplies these two numbers from the
+    * container header; everything downstream (segmentation) is the
+    * real engine surface. */
+  def audioMetadata(docs: DataFrame): DataFrame = {
+    val h = Portable.hash32(col("text"))
+    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs
+      .select(col("doc_id"), mediaType.as("media_type"), h.as("h"))
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"),
+        element_at(array(lit(16000), lit(22050), lit(44100)),
+          (pmod(col("h"), lit(3)) + 1).cast("int")).as("sample_rate"),
+        (lit(1000L) + pmod(col("h"), lit(600000L))).as("duration_ms"))
+  }
+
+  /** AUDIO SEGMENTATION — the audio analog of [[frameIndex]] and the
+    * sharding step of every ASR/captioning pipeline (Whisper-style
+    * fixed windows): each audio asset fans out to `segMs`-millisecond
+    * windows every `strideMs` (stride < segMs = overlap), with the
+    * trailing window clipped to the asset's duration and exact sample
+    * counts from the sample rate. One `explode(sequence(...))`
+    * generator inside the scan task — no shuffle; output ∝
+    * Σ ceil(duration/stride), bounded upstream by sampling exactly
+    * like frames. All arithmetic integer (ms × rate / 1000 with
+    * integer division) so the oracle matches bit-for-bit. */
+  def audioSegments(meta: DataFrame, segMs: Long, strideMs: Long): DataFrame = {
+    require(segMs > 0 && strideMs > 0 && strideMs <= segMs,
+      s"audioSegments(segMs=$segMs, strideMs=$strideMs)")
+    meta
+      .select(col("doc_id"), col("sample_rate"), col("duration_ms"),
+        explode(sequence(lit(0),
+          expr(s"CAST((duration_ms - 1) DIV $strideMs AS INT)"))).as("seg_no"))
+      .select(col("doc_id"), col("sample_rate"), col("seg_no"),
+        (col("seg_no").cast("long") * strideMs).as("start_ms"),
+        least(col("seg_no").cast("long") * strideMs + segMs, col("duration_ms")).as("end_ms"))
+      .withColumn("n_samples",
+        expr("(end_ms - start_ms) * sample_rate DIV 1000"))
+  }
+
+  private def audioMetadataSql: String = {
+    val h = Portable.hash32Sql("text")
+    s"""SELECT doc_id,
+       |  ([16000,22050,44100])[($h % 3)::INT + 1] AS sample_rate,
+       |  1000 + $h % 600000 AS duration_ms
+       |FROM documents WHERE (['image','audio','video'])[(doc_id % 3)::INT + 1] = 'audio'"""
+      .stripMargin
+  }
+
+  /** DuckDB oracle for [[audioSegments]] over [[audioMetadata]]. */
+  def audioSegmentsSql(segMs: Long, strideMs: Long): String =
+    s"""SELECT doc_id, sample_rate, seg_no::INT AS seg_no,
+       |  seg_no * $strideMs AS start_ms,
+       |  least(seg_no * $strideMs + $segMs, duration_ms) AS end_ms,
+       |  (least(seg_no * $strideMs + $segMs, duration_ms) - seg_no * $strideMs)
+       |    * sample_rate // 1000 AS n_samples
+       |FROM (SELECT m.*, unnest(range(0, (duration_ms - 1) // $strideMs + 1)) AS seg_no
+       |      FROM (${audioMetadataSql.replace("\n", "\n      ")}) m)""".stripMargin
+
+  /** IMAGE PATCH GRID — the ViT-style patch index: each image asset
+    * fans out to a `patch`×`patch` tile grid over its (stub-decoded)
+    * width×height, edge tiles clipped. This is the unit vision
+    * pipelines key embedding/captioning work on, exactly as
+    * [[frameIndex]] keys video work. One generator over nx·ny inside
+    * the scan task — no shuffle; the grid tiles the image EXACTLY
+    * (Σ patch_w·patch_h = width·height — spec-asserted). */
+  def imagePatches(decoded: DataFrame, patch: Int): DataFrame = {
+    require(patch > 0, s"imagePatches(patch=$patch)")
+    decoded
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        expr(s"CAST((width + $patch - 1) DIV $patch AS INT)").as("nx"),
+        expr(s"CAST((height + $patch - 1) DIV $patch AS INT)").as("ny"))
+      .select(col("doc_id"), col("width"), col("height"), col("nx"),
+        explode(sequence(lit(0), col("nx") * col("ny") - 1)).as("i"))
+      .select(col("doc_id"),
+        // integer DIV/% — Column./ would be double division
+        expr("CAST(i % nx AS INT)").as("px"),
+        expr("CAST(i DIV nx AS INT)").as("py"),
+        expr(s"CAST((i % nx) * $patch AS INT)").as("x0"),
+        expr(s"CAST((i DIV nx) * $patch AS INT)").as("y0"),
+        expr(s"CAST(least($patch, width - (i % nx) * $patch) AS INT)").as("patch_w"),
+        expr(s"CAST(least($patch, height - (i DIV nx) * $patch) AS INT)").as("patch_h"))
+  }
+
+  /** DuckDB oracle for [[imagePatches]] over [[decodedMetadataSql]]. */
+  def imagePatchesSql(patch: Int): String =
+    s"""SELECT doc_id,
+       |  (i % nx)::INT AS px, (i // nx)::INT AS py,
+       |  ((i % nx) * $patch)::INT AS x0, ((i // nx) * $patch)::INT AS y0,
+       |  least($patch, width - (i % nx) * $patch)::INT AS patch_w,
+       |  least($patch, height - (i // nx) * $patch)::INT AS patch_h
+       |FROM (SELECT d.*, (width + $patch - 1) // $patch AS nx,
+       |             unnest(range(0, ((width + $patch - 1) // $patch)
+       |                             * ((height + $patch - 1) // $patch))) AS i
+       |      FROM (${decodedMetadataSql.replace("\n", "\n      ")}) d
+       |      WHERE media_type = 'image')""".stripMargin
 }

@@ -728,6 +728,30 @@ class OperatorsSpec extends AnyFunSuite {
       && !out(4).getAs[Boolean]("keep"))
   }
 
+  test("image patches tile exactly; audio segments cover the duration without gaps") {
+    val patches = Multimodal.imagePatches(Multimodal.decodedMetadata(docs), patch = 256)
+    val meta = Multimodal.decodedMetadata(docs).filter(col("media_type") === "image")
+    // Σ patch_w·patch_h per image == width·height (exact tiling, no
+    // overlap, no spill past the edge)
+    val bad = patches.groupBy("doc_id")
+      .agg(sum(col("patch_w").cast("long") * col("patch_h")).as("area"))
+      .join(meta, "doc_id")
+      .filter(col("area") =!= col("width").cast("long") * col("height")).count()
+    assert(bad == 0)
+    assert(patches.filter(col("patch_w") <= 0 || col("patch_h") <= 0).count() == 0)
+    // audio: first segment starts at 0, last ends at duration, stride
+    // steps are uniform, every end > start
+    val segs = Multimodal.audioSegments(
+      Multimodal.audioMetadata(docs), segMs = 30000L, strideMs = 25000L)
+    assert(segs.filter(col("end_ms") <= col("start_ms")).count() == 0)
+    val perDoc = segs.groupBy("doc_id").agg(
+      min("start_ms").as("first"), max("end_ms").as("last"), max("seg_no").as("k"))
+      .join(Multimodal.audioMetadata(docs), "doc_id")
+    assert(perDoc.filter(col("first") =!= 0L || col("last") =!= col("duration_ms")).count() == 0)
+    // coverage: the last window must start at or before duration-1
+    assert(perDoc.filter(col("k").cast("long") * 25000L >= col("duration_ms")).count() == 0)
+  }
+
   test("shuffle shards: disjoint+exhaustive, contiguous per-shard positions, reshard-stable") {
     val out = TextAnalysis.shuffleShards(docs, nShards = 4)
     val n = docs.count()
