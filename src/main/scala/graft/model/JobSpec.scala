@@ -326,12 +326,17 @@ object JobSpec {
     JobSpec(
       // `reader.table` = consume another LakeTable's change feed (the
       // job-spec surface of CDC chaining): the feed rows carry the
-      // ChangeLog schema, so it is exactly a binlog dir to the replay
-      logDir = (j \ "reader" \ "table") match {
-        case JString(tableDir) =>
-          s"$tableDir/${graft.lake.LakeTable.ChangelogDir}"
-        case _ => str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
-          throw new IllegalArgumentException("reader needs logDir, table or jdbc block"))
+      // ChangeLog schema, so it is exactly a binlog dir to the replay.
+      // Conflicting sources fail loudly rather than silently preferring one.
+      logDir = ((j \ "reader" \ "table"), (j \ "reader" \ "logDir")) match {
+        case (JNothing, _) =>
+          str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
+            throw new IllegalArgumentException("reader needs logDir, table or jdbc block"))
+        case (_, ld) if ld != JNothing =>
+          throw new IllegalArgumentException(
+            "reader.table and reader.logDir are mutually exclusive — pick one source")
+        case _ =>
+          s"${str(j \ "reader" \ "table")}/${graft.lake.LakeTable.ChangelogDir}"
       },
       assumeOrdered = (j \ "reader" \ "assumeOrdered") == JBool(true),
       tableDir = str(j \ "writer" \ "tableDir",

@@ -36,13 +36,22 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** Asset media type — ONE derivation shared by [[attachPayload]],
+    * [[decodedMetadata]] and [[audioMetadata]] (with [[MediaTypeSql]]
+    * as the oracle mirror), so the assignment cannot desynchronize
+    * across operators or engines. */
+  def mediaTypeCol: org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+
+  val MediaTypeSql: String = "(['image','audio','video'])[(doc_id % 3)::INT + 1]"
+
   /** Attach a binary payload column. In production this is the raw
     * image/audio bytes from the source; here the UTF-8 bytes of `text`
     * stand in (deterministic, judge-checkable). */
   def attachPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+      mediaTypeCol.as("media_type"))
 
   /** DECODE STUB — deterministic fake in place of a real codec call.
     * A production build swaps the body for e.g. ImageIO/ffmpeg; the
@@ -92,8 +101,7 @@ object Multimodal {
     * md5(text) == md5(payload)). */
   def decodedMetadata(docs: DataFrame): DataFrame = {
     val h = Portable.hash32(col("text"))
-    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val mediaType = mediaTypeCol
     docs.select(
       col("doc_id"),
       mediaType.as("media_type"),
@@ -107,11 +115,11 @@ object Multimodal {
   def decodedMetadataSql: String = {
     val h = Portable.hash32Sql("text")
     s"""SELECT doc_id,
-       |  (['image','audio','video'])[(doc_id % 3)::INT + 1] AS media_type,
+       |  $MediaTypeSql AS media_type,
        |  length(text) AS byte_len,
        |  (1 + $h % 1920)::INT AS width,
        |  (1 + ($h // 1920) % 1080)::INT AS height,
-       |  CASE WHEN (['image','audio','video'])[(doc_id % 3)::INT + 1] = 'video'
+       |  CASE WHEN $MediaTypeSql = 'video'
        |       THEN (1 + $h % 240)::INT ELSE 1 END AS n_frames
        |FROM documents""".stripMargin
   }
@@ -163,10 +171,8 @@ object Multimodal {
     * real engine surface. */
   def audioMetadata(docs: DataFrame): DataFrame = {
     val h = Portable.hash32(col("text"))
-    val mediaType = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
     docs
-      .select(col("doc_id"), mediaType.as("media_type"), h.as("h"))
+      .select(col("doc_id"), mediaTypeCol.as("media_type"), h.as("h"))
       .filter(col("media_type") === "audio")
       .select(col("doc_id"),
         element_at(array(lit(16000), lit(22050), lit(44100)),
@@ -203,8 +209,7 @@ object Multimodal {
     s"""SELECT doc_id,
        |  ([16000,22050,44100])[($h % 3)::INT + 1] AS sample_rate,
        |  1000 + $h % 600000 AS duration_ms
-       |FROM documents WHERE (['image','audio','video'])[(doc_id % 3)::INT + 1] = 'audio'"""
-      .stripMargin
+       |FROM documents WHERE $MediaTypeSql = 'audio'""".stripMargin
   }
 
   /** DuckDB oracle for [[audioSegments]] over [[audioMetadata]]. */
