@@ -407,6 +407,33 @@ object Dedup {
       .select(col("doc_id"), array_distinct(Portable.shinglesFromWords(col("ws"), n)).as("grams"))
   }
 
+  /** (doc_id, sig, grams) in ONE pass — the fused form of
+    * [[bandedRaw]]'s signature stage + [[gramsOf]] for callers that
+    * need both (the LSH index probes with the signature AND verifies/
+    * appends with the gram sets): one repartition, one persistable
+    * frame, the per-row shingle pipeline run once per doc instead of
+    * twice. `shuffled = true` skips the parallelism repartition when
+    * the caller already hash-partitioned by doc_id (e.g. a
+    * dropDuplicates directly upstream — same key, so no second
+    * exchange). */
+  private[operators] def sigAndGrams(docs: DataFrame, n: Int, k: Int,
+      shuffled: Boolean = false): DataFrame = {
+    val base0 = docs.select(col("doc_id"), col("text"))
+    val base = if (shuffled) base0 else base0.repartition(col("doc_id"))
+    if (nativeOk(docs, "graft_minhash") && nativeOk(docs, "graft_shingles"))
+      base.select(col("doc_id"),
+        call_function("graft_minhash", col("text"), lit(n), lit(k)).as("sig"),
+        array_distinct(call_function("graft_shingles", col("text"), lit(n))).as("grams"))
+    else base
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .select(col("doc_id"), Portable.shinglesFromWords(col("ws"), n).as("sh"))
+      // minhash over the multiset == over the set (min ignores dups),
+      // so hashing the raw shingles matches bandedRaw exactly
+      .select(col("doc_id"), transform(col("sh"), s => Portable.hash32(s)).as("hs"),
+        array_distinct(col("sh")).as("grams"))
+      .select(col("doc_id"), sigFromHashes(col("hs"), k).as("sig"), col("grams"))
+  }
+
   /** |A ∩ B| / |A ∪ B| over two array columns (callers pass distinct'd
     * arrays). Integer set sizes => the double division is IEEE-exact and
     * identical across engines. */

@@ -136,7 +136,8 @@ object Replay {
             // near-dup admission (dedup-on-ingest): probe the persisted
             // LSH index, drop events of docs duplicating indexed docs
             admission = dedup.map(dx => graft.operators.LshIndex.admit(
-              cleanBatch, dx.indexDir, dx.threshold, dx.maxBucketSize, batchId))
+              cleanBatch, dx.indexDir, dx.threshold, dx.maxBucketSize, batchId,
+              dx.n, dx.k))
             val batch = admission.map(_.admitted).getOrElse(cleanBatch)
             val snap = BatchApply.apply(table, batch, batchId, saltBuckets,
               assumeOrdered = assumeOrdered,
@@ -149,7 +150,7 @@ object Replay {
               // (see LshIndex.indexAdmitted ordering note)
               admission.zip(dedup).foreach { case (a, dx) =>
                 graft.operators.LshIndex.indexAdmitted(
-                  a.admittedDocs, dx.indexDir, dx.n, dx.k, dx.bands)
+                  a, dx.indexDir, dx.n, dx.k, dx.bands)
               }
             }
             // tps cap: hold the NEXT batch back until cumulative rate

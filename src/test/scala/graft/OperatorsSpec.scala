@@ -114,6 +114,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self.contains((someId, someId, 1.0)), s"appended doc must match itself: ${self.toSeq}")
   }
 
+  test("LSH index compaction: bounded file count, identical probe results, crash-heal") {
+    import graft.operators.LshIndex
+    val path = java.nio.file.Files.createTempDirectory("lshidx-compact").toString
+    val slice = (i: Int) => docs.filter(col("doc_id") % 7 === i)
+    LshIndex.build(slice(0), path, n = 3, k = 12, bands = 4)
+    // several per-batch appends accrete one file set per touched dir each
+    (1 to 4).foreach(i => LshIndex.append(slice(i), path))
+    val probeBatch = slice(6)
+    val before = LshIndex.probe(probeBatch, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filesBefore = LshIndex.dataFileCount(spark, path)
+    LshIndex.compact(spark, path)
+    val filesAfter = LshIndex.dataFileCount(spark, path)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the store: $filesBefore -> $filesAfter")
+    // ~one file per touched partition dir + one occupancy file: far
+    // fewer than the per-batch accretion (5 appends x dirs x tasks)
+    val after = LshIndex.probe(probeBatch, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before, s"probe must be unchanged by compaction; " +
+      s"only-before=${before -- after}, only-after=${after -- before}")
+    // appends after compaction keep working and re-compaction stays stable
+    LshIndex.append(slice(5), path)
+    LshIndex.compact(spark, path)
+    val afterAppend = LshIndex.probe(probeBatch, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterAppend.size >= before.size)
+    // crash-heal: a store left swapped-out (live missing, .old present —
+    // the window between compact's two renames) is recovered on rerun
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val old = new org.apache.hadoop.fs.Path(s"$path/grams.old")
+    assert(fs.rename(live, old))
+    LshIndex.compact(spark, path)
+    assert(fs.exists(live) && !fs.exists(old))
+    assert(LshIndex.probe(probeBatch, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == afterAppend)
+  }
+
   test("corpus mix: deterministic, stratified, shuffle-free, correct weights") {
     val rates = Map("src0" -> 900000, "src1" -> 50000)
     val run = () => TextAnalysis.mixSample(docs, rates, defaultPpm = 200000).collect()
