@@ -161,12 +161,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
   }
 
-  /** DuckDB oracle for [[packSequences]] (`//` = integer division). */
+  /** DuckDB oracle for [[packSequences]] (`//` = integer division).
+    * DuckDB's windowed `sum(BIGINT)` returns HUGEINT and `//` keeps it,
+    * so `pack_id` must be cast back to BIGINT to hash identically to
+    * Spark's LONG (the round-3 q41 hash mismatch). */
   def packSequencesSql(tbl: String, seqLen: Int): String =
     s"""SELECT source, pack_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS pack_tokens
        |FROM (
-       |  SELECT source, coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $seqLen AS pack_id, n_tok
+       |  SELECT source, (coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $seqLen)::BIGINT
+       |    AS pack_id, n_tok
        |  FROM (SELECT doc_id, source,
        |      len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS n_tok FROM $tbl))
        |GROUP BY source, pack_id""".stripMargin
