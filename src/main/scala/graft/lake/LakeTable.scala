@@ -87,6 +87,26 @@ object LakeTable {
     * [[graft.apply.BatchApply]] `changelog`). */
   val ChangelogDir = "changelog"
 
+  /** Ranged (compacted) feed-store dir-name prefix under changelog/:
+    * `.ranged-<loBatchId>-<hiBatchId>`. Dot-prefixed so the per-batch
+    * partitioned parquet read never sees it (see
+    * [[LakeTable.compactChangelog]]). */
+  val RangedFeedPrefix = ".ranged-"
+
+  /** Schema of [[LakeTable.readChanges]] rows: the staged feed columns
+    * (see `BatchApply.stageChangelog`'s projection) plus the `batch_id`
+    * partition column Spark appends last (partition-value inference
+    * types int-ranged batch ids as INT, so the empty frame matches). */
+  val changeFeedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", StringType), StructField("op", StringType),
+      StructField("lsn", LongType), StructField("tokens", ArrayType(IntegerType)),
+      StructField("n_tok", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("shard", IntegerType),
+      StructField("batch_id", IntegerType)))
+  }
+
   /** `delta=true` marks a merge-on-read file: its rows OVERLAY the
     * bucket's base rows, resolved at read time by max `_lsn` per key
     * (Iceberg-v2 positional-delete analog expressed as upsert rows). */
@@ -462,8 +482,150 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val dir = new Path(root, ChangelogDir)
     require(fs.exists(dir),
       s"no changelog under $root — replay with changelog=true to enable the change feed")
-    spark.read.option("basePath", dir.toString).parquet(dir.toString)
-      .filter(col("batch_id") > sinceBatchId && col("batch_id") <= current.batchId)
+    val cols = LakeTable.changeFeedSchema.fieldNames.map(col).toIndexedSeq
+    // Compacted history ([[compactChangelog]]): at most one LIVE ranged
+    // store — the max-hi dir (every compaction subsumes all earlier
+    // ranged dirs, so lower-hi dirs are crash debris, as are batch_id=
+    // partitions it covers: compaction deletes them after the ranged
+    // rename, and a crash between the two leaves both readable — the
+    // covered-id filter keeps the read exactly-once either way).
+    val ranged = rangedFeedDirs().lastOption
+    val coveredHi = ranged.map(_._2).getOrElse(-1L)
+    val hasParts = fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong > coveredHi
+    }
+    // A feed dir with no PUBLISHED batch_id= partition yet (e.g. crash
+    // after staging but before the first commit leaves only a
+    // .staged- dot-dir) would make the parquet read fail with an opaque
+    // "unable to infer schema"; a polling tailer instead gets an empty
+    // frame with the feed schema — the same thing it would see one
+    // instant before the first publish.
+    val parts =
+      if (!hasParts) None
+      else Some(spark.read.option("basePath", dir.toString).parquet(dir.toString)
+        .filter(col("batch_id") > coveredHi).select(cols: _*))
+    val rangedDf = ranged.map { case (_, _, p) =>
+      spark.read.parquet(p.toString).select(cols: _*)
+    }
+    val all = (rangedDf.toSeq ++ parts.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LakeTable.changeFeedSchema))
+    all.filter(col("batch_id") > sinceBatchId && col("batch_id") <= current.batchId)
+  }
+
+  /** Ranged feed stores under changelog/ — `.ranged-<lo>-<hi>` dot-dirs
+    * (hidden from the partitioned parquet read), sorted by (hi, lo):
+    * the LAST entry is the live store. Driver-side listing of one
+    * directory — O(dirs), bounded by compaction itself. */
+  private def rangedFeedDirs(): Seq[(Long, Long, Path)] = {
+    val dir = new Path(root, ChangelogDir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(LakeTable.RangedFeedPrefix)) None
+      else n.stripPrefix(LakeTable.RangedFeedPrefix).split("-") match {
+        case Array(lo, hi) => Some((lo.toLong, hi.toLong, st.getPath))
+        case _ => None
+      }
+      // ties on hi prefer the LARGER lo: a crashed retention rewrite
+      // leaves old (lo, hi) beside new (cutoff+1, hi) — the rewritten
+      // store must win so the expired rows stay expired
+    }.sortBy { case (lo, hi, _) => (hi, lo) }
+  }
+
+  /** FEED COMPACTION — coalesce per-batch change-feed partitions into
+    * one ranged store so a long-retention feed stays readable (one
+    * micro-batch per minute = ~1,440 partition dirs/day; the per-batch
+    * layout is write-optimal but listing- and open-cost-pathological
+    * for a tailer reading weeks of history). All published partitions
+    * with `batch_id <= current.batchId - retainRecent`, PLUS the
+    * previous ranged store, rewrite into `changelog/.ranged-<lo>-<hi>`
+    * — batch_id carried as a DATA column, rows range-clustered by
+    * (batch_id, doc_id) so an incremental `readChanges(since)` prunes
+    * at parquet row-group granularity instead of by directory. The
+    * newest `retainRecent` batches stay per-batch partitions (they are
+    * what live tailers poll; compacting them would rewrite hot data).
+    *
+    * Crash-safe like every commit here: the new store is written to a
+    * `.tmp-` dir and RENAMED live before any deletion; each compaction
+    * subsumes all earlier ranged stores, so [[readChanges]]'s max-hi
+    * rule reads exactly-once through any crash window, and the next
+    * compaction (or [[vacuum]]) clears leftover covered partitions and
+    * superseded ranged dirs. Stale staged partitions below the applied
+    * watermark are HEALED first (same rule as [[vacuum]]) so a
+    * committed-but-unpublished batch is compacted, never skipped.
+    * Single-writer with the replay's maintenance window, like
+    * [[compact]]. No-op when nothing new is eligible. */
+  def compactChangelog(retainRecent: Int = 1): Unit = {
+    require(retainRecent >= 0, s"compactChangelog retainRecent=$retainRecent must be >= 0")
+    val dir = new Path(root, ChangelogDir)
+    if (!fs.exists(dir)) return
+    val applied = current.batchId
+    healStagedChangelog(applied, keepBelow = Long.MinValue)
+    val prior = rangedFeedDirs()
+    val priorHi = prior.lastOption.map(_._2).getOrElse(-1L)
+    val cutoff = applied - retainRecent
+    val parts = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .filter(b => b > priorHi && b <= cutoff)
+      .sorted
+    if (parts.isEmpty) return
+    val lo = prior.lastOption.map(_._1).getOrElse(parts.head)
+    val hi = parts.max
+    val cols = LakeTable.changeFeedSchema.fieldNames.map(col).toIndexedSeq
+    val fresh = spark.read.option("basePath", dir.toString).parquet(dir.toString)
+      .filter(col("batch_id") > priorHi && col("batch_id") <= cutoff).select(cols: _*)
+    val all = prior.lastOption match {
+      case Some((_, _, p)) => spark.read.parquet(p.toString).select(cols: _*).unionByName(fresh)
+      case None => fresh
+    }
+    val tmp = new Path(dir, s".tmp${LakeTable.RangedFeedPrefix}$lo-$hi")
+    val live = new Path(dir, s"${LakeTable.RangedFeedPrefix}$lo-$hi")
+    fs.delete(tmp, true)
+    // range-cluster, don't partition: ONE store, file count bounded by
+    // the shuffle parallelism per compaction (and re-bounded every run
+    // since each compaction rewrites the whole store)
+    all.repartitionByRange(col("batch_id"), col("doc_id"))
+      .sortWithinPartitions(col("batch_id"), col("doc_id"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, live))
+      throw new IllegalStateException(s"feed compaction rename failed for $live")
+    // now superseded: earlier ranged stores and the covered partitions
+    prior.foreach { case (_, _, p) => fs.delete(p, true) }
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= hi)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Publish (heal) stale staged feed partitions at or below `applied`
+    * whose final partition is missing — the commit-landed/publish-
+    * missing crash window; the staged dir is the only copy of that
+    * committed batch's changes, so it must be renamed live, never
+    * deleted. Staged dirs below `keepBelow` (expired or already
+    * compacted) and those whose final partition exists (republish-race
+    * leftovers) are debris and are removed instead. */
+  private def healStagedChangelog(applied: Long, keepBelow: Long): Unit = {
+    val clDir = new Path(root, ChangelogDir)
+    if (!fs.exists(clDir)) return
+    val coveredHi = rangedFeedDirs().lastOption.map(_._2).getOrElse(-1L)
+    fs.listStatus(clDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".staged-batch_id=")) {
+        val b = n.stripPrefix(".staged-batch_id=").toLong
+        if (b <= applied) {
+          val fin = new Path(clDir, s"batch_id=$b")
+          if (b < keepBelow || b <= coveredHi || fs.exists(fin)) fs.delete(st.getPath, true)
+          else if (!fs.rename(st.getPath, fin))
+            throw new IllegalStateException(
+              s"changelog publish-heal rename failed for batch $b")
+        }
+      }
+    }
   }
 
   // --------------------------------------------------------------- write
@@ -691,12 +853,45 @@ class LakeTable(val spark: SparkSession, val root: String) {
           val n = st.getPath.getName
           if (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= cutoff)
             fs.delete(st.getPath, true)
-          // staged debris: a committed batch's staging dir is renamed
-          // (or deleted) at publish, so anything still staged at or
-          // below the applied watermark is a crashed attempt's leftover
-          else if (n.startsWith(".staged-batch_id=") &&
-              n.stripPrefix(".staged-batch_id=").toLong <= applied)
-            fs.delete(st.getPath, true)
+        }
+        // A staged dir at-or-below the applied watermark whose FINAL
+        // partition is missing is the commit-landed/publish-missing
+        // crash window: it is the ONLY copy of that committed batch's
+        // changes, so HEAL it (the same atomic rename as
+        // BatchApply.publishChangelog) rather than delete it — deleting
+        // would leave a permanent hole in the feed. Only when the final
+        // partition already exists (publish ran; this is a republish
+        // race's leftover), the batch is already compacted into the
+        // ranged store, or it is past the retention cutoff (its final
+        // partition was just expired above — resurrecting it would
+        // un-expire the batch) is the staged dir debris.
+        healStagedChangelog(applied, keepBelow = cutoff + 1)
+        // ranged feed stores: superseded (non-maximal) dirs are crash
+        // debris from compactChangelog/rewrites; the live store expires
+        // wholesale once entirely past the cutoff, and is REWRITTEN
+        // (filtered to the retained ids, then swapped) when the cutoff
+        // lands inside it — retention stays row-exact under compaction
+        val ranged = rangedFeedDirs()
+        ranged.dropRight(1).foreach { case (_, _, p) => fs.delete(p, true) }
+        ranged.lastOption.foreach { case (lo, hi, p) =>
+          if (hi <= cutoff) fs.delete(p, true)
+          else if (lo <= cutoff) {
+            val cols = LakeTable.changeFeedSchema.fieldNames.map(col).toIndexedSeq
+            val keepLo = cutoff + 1
+            val tmp = new Path(clDir, s".tmp${LakeTable.RangedFeedPrefix}$keepLo-$hi")
+            val live = new Path(clDir, s"${LakeTable.RangedFeedPrefix}$keepLo-$hi")
+            fs.delete(tmp, true)
+            fs.delete(live, true) // crashed-rewrite leftover
+            spark.read.parquet(p.toString).filter(col("batch_id") > cutoff)
+              .select(cols: _*)
+              .repartitionByRange(col("batch_id"), col("doc_id"))
+              .sortWithinPartitions(col("batch_id"), col("doc_id"))
+              .write.mode("overwrite").parquet(tmp.toString)
+            if (!fs.rename(tmp, live))
+              throw new IllegalStateException(
+                s"vacuum: feed retention rewrite rename failed for $live")
+            fs.delete(p, true)
+          }
         }
       }
     }

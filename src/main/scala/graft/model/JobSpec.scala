@@ -329,12 +329,21 @@ object JobSpec {
       // ChangeLog schema, so it is exactly a binlog dir to the replay.
       // Conflicting sources fail loudly rather than silently preferring one.
       logDir = ((j \ "reader" \ "table"), (j \ "reader" \ "logDir")) match {
-        case (JNothing, _) =>
+        case (JNothing, ld) =>
+          if (ld != JNothing && jdbcReader.isDefined)
+            throw new IllegalArgumentException(
+              "reader.logDir and reader.jdbc are mutually exclusive — pick one source")
           str(j \ "reader" \ "logDir", if (jdbcReader.isDefined) "" else
             throw new IllegalArgumentException("reader needs logDir, table or jdbc block"))
         case (_, ld) if ld != JNothing =>
           throw new IllegalArgumentException(
             "reader.table and reader.logDir are mutually exclusive — pick one source")
+        case _ if jdbcReader.isDefined =>
+          // Main's jdbcReader branch takes precedence over replay, so a
+          // spec carrying both would silently ignore the table source —
+          // same loud-failure contract as the logDir conflict above.
+          throw new IllegalArgumentException(
+            "reader.table and reader.jdbc are mutually exclusive — pick one source")
         case _ =>
           s"${str(j \ "reader" \ "table")}/${graft.lake.LakeTable.ChangelogDir}"
       },

@@ -210,6 +210,104 @@ class CdcEngineSpec extends AnyFunSuite {
     log.unpersist()
   }
 
+  test("vacuum heals (never deletes) a committed-but-unpublished staged feed partition") {
+    val log = ChangeLogGen.events(spark, cfg.copy(nEvents = 3000)).cache()
+    val dir = tmpDir("graft-vacheal")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 8)
+    val b1 = log.filter(col("lsn") <= 1500)
+    val b2 = log.filter(col("lsn") > 1500)
+    BatchApply.apply(table, b1, batchId = 0, changelog = true)
+    BatchApply.apply(table, b2, batchId = 1, changelog = true)
+    val expect = table.readChanges(sinceBatchId = 0).select("doc_id", "lsn", "op")
+      .collect().toSet
+    // simulate the commit-landed/publish-missing crash window on the
+    // CURRENT batch: un-publish batch 1 back to its staged name
+    val part = new org.apache.hadoop.fs.Path(
+      s"$dir/table/${LakeTable.ChangelogDir}/batch_id=1")
+    val staged = new org.apache.hadoop.fs.Path(BatchApply.stagedChangelog(table, 1))
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(part, staged))
+    // vacuum with retention BEFORE any fenced retry ran: the staged dir
+    // is the only copy of batch 1's changes — it must be PUBLISHED, not
+    // deleted (deleting would leave a permanent hole in the feed)
+    table.vacuum(retainLast = 1, changelogRetainBatches = 10)
+    assert(fs.exists(part) && !fs.exists(staged))
+    assert(table.readChanges(sinceBatchId = 0).select("doc_id", "lsn", "op")
+      .collect().toSet == expect)
+    // a staged dir whose FINAL partition exists is debris: deleted
+    val junk = new org.apache.hadoop.fs.Path(BatchApply.stagedChangelog(table, 1))
+    fs.mkdirs(junk)
+    table.vacuum(retainLast = 1, changelogRetainBatches = 10)
+    assert(fs.exists(part) && !fs.exists(junk))
+    // a staged dir past the retention cutoff is expired with its batch
+    // (cutoff = applied(1) - 1 = 0: batch 0 expires, batch 1 stays)
+    val old = new org.apache.hadoop.fs.Path(BatchApply.stagedChangelog(table, 0))
+    fs.mkdirs(old)
+    table.vacuum(retainLast = 1, changelogRetainBatches = 1)
+    assert(!fs.exists(old) && fs.exists(part))
+    log.unpersist()
+  }
+
+  test("feed compaction: identical rows, one ranged store, retention stays row-exact") {
+    val log = ChangeLogGen.events(spark, cfg.copy(nEvents = 5000)).cache()
+    val dir = tmpDir("graft-feedcompact")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 8)
+    (0 until 4).foreach { b =>
+      BatchApply.apply(table,
+        log.filter(col("lsn") > b * 1000 && col("lsn") <= (b + 1) * 1000),
+        batchId = b, changelog = true)
+    }
+    def feed(since: Long): Set[(String, String, Long, Int)] =
+      table.readChanges(since).select(col("doc_id").cast("string"), col("op"),
+        col("lsn"), col("batch_id").cast("int"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val clDir = new org.apache.hadoop.fs.Path(s"$dir/table/${LakeTable.ChangelogDir}")
+    val fs = clDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirNames() = fs.listStatus(clDir).map(_.getPath.getName).toSet
+    val before = feed(-1)
+    val beforeSince = feed(1)
+    table.compactChangelog(retainRecent = 1)
+    // batches 0..2 compacted into ONE ranged store; batch 3 (live tail)
+    // stays a per-batch partition; a tailer sees identical rows, and
+    // since-filters still prune correctly through the ranged store
+    assert(dirNames().count(_.startsWith("batch_id=")) == 1)
+    assert(dirNames().count(_.startsWith(LakeTable.RangedFeedPrefix)) == 1)
+    assert(feed(-1) == before)
+    assert(feed(1) == beforeSince)
+    // a second run with nothing new eligible is a no-op
+    val snap1 = dirNames()
+    table.compactChangelog(retainRecent = 1)
+    assert(dirNames() == snap1)
+    // more batches, compact again: the prior ranged store is subsumed —
+    // still exactly one ranged store, rows still identical
+    BatchApply.apply(table, log.filter(col("lsn") > 4000), batchId = 4, changelog = true)
+    val before5 = feed(-1)
+    table.compactChangelog(retainRecent = 1)
+    assert(dirNames().count(_.startsWith(LakeTable.RangedFeedPrefix)) == 1)
+    assert(feed(-1) == before5)
+    // retention cutoff INSIDE the ranged store: vacuum rewrites it
+    // row-exactly (batches <= applied-2 = 2 expire, 3..4 remain)
+    table.vacuum(retainLast = 1, changelogRetainBatches = 2)
+    assert(feed(-1) == before5.filter(_._4 > 2))
+    // stream-tailing a compacted feed still works end-to-end
+    val down = Replay.createTable(spark, s"$dir/down", nBuckets = 8)
+    BatchApply.apply(down, table.readChanges(2).drop("batch_id"), batchId = 0)
+    assert(down.read().count() > 0)
+    log.unpersist()
+  }
+
+  test("readChanges on a feed with no published partition yet returns an empty typed frame") {
+    val dir = tmpDir("graft-emptyfeed")
+    val table = Replay.createTable(spark, s"$dir/table", nBuckets = 4)
+    val clDir = new org.apache.hadoop.fs.Path(s"$dir/table/${LakeTable.ChangelogDir}")
+    val fs = clDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-after-staging-before-first-commit: only a dot-dir exists
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$clDir/.staged-batch_id=0"))
+    val feed = table.readChanges()
+    assert(feed.schema == LakeTable.changeFeedSchema)
+    assert(feed.count() == 0)
+  }
+
   test("feed-replay equivalence: any batch partitioning reconstructs the table from its feed") {
     // the change feed is a COMPLETE canonical change stream: however
     // the replay happened to be micro-batched, replaying the feed into

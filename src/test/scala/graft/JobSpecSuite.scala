@@ -168,6 +168,24 @@ class JobSpecSuite extends AnyFunSuite {
     assert(x.exceptAll(y).count() == 0 && y.exceptAll(x).count() == 0)
   }
 
+  test("conflicting reader sources fail loudly (table/logDir/jdbc pairwise)") {
+    val jdbc = """"jdbc": {"jdbcUrl": "jdbc:mysql://db/x", "table": "t"}"""
+    val w = """"writer": {"tableDir": "/t", "checkpointDir": "/c"}"""
+    // table + logDir (pre-existing check)
+    intercept[IllegalArgumentException] { JobSpec.parse(
+      s"""{"reader": {"table": "/ta", "logDir": "/l"}, $w}""") }
+    // table + jdbc: Main's jdbc branch would otherwise win silently
+    intercept[IllegalArgumentException] { JobSpec.parse(
+      s"""{"reader": {"table": "/ta", $jdbc}, $w}""") }
+    // logDir + jdbc: same silent-precedence shape
+    intercept[IllegalArgumentException] { JobSpec.parse(
+      s"""{"reader": {"logDir": "/l", $jdbc}, $w}""") }
+    // each source alone still parses
+    assert(JobSpec.parse(s"""{"reader": {"table": "/ta"}, $w}""").logDir == "/ta/changelog")
+    assert(JobSpec.parse(s"""{"reader": {"logDir": "/l"}, $w}""").logDir == "/l")
+    assert(JobSpec.parse(s"""{"reader": {$jdbc}, $w}""").jdbcReader.isDefined)
+  }
+
   test("writer.changelog flag parses (change-data feed opt-in, default off)") {
     val on = JobSpec.parse(
       """{"reader": {"logDir": "/l"},
