@@ -21,6 +21,9 @@ object SparkEntry {
   /** q56's JSONL fixture dirs, keyed by source dir (see q56_json_source). */
   private val jsonFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q67's ORC fixture dirs, keyed by source dir (see q67_orc_source). */
+  private val orcFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q62's lake-with-changelog fixture roots, keyed by source dir. */
   private val lakeFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -658,7 +661,32 @@ object SparkEntry {
     "q66_image_patches" -> ((s, dir) =>
       graft.operators.Multimodal.imagePatches(
         graft.operators.Multimodal.decodedMetadata(t(s, dir, "documents")),
-        patch = 256))
+        patch = 256)),
+
+    // §2.2 hdfsreader format family: ORC source round-trip (parquet ->
+    // ORC files -> typed ORC read -> filtered aggregate) — completes
+    // the TEXT/CSV/JSON/ORC coverage of the reference's HdfsFileType
+    // family (`hdfsreader/.../HdfsFileType.java:8`; SEQ/RC are legacy
+    // formats Spark's columnar sources supersede). ORC is columnar with
+    // predicate pushdown like parquet, so the filter reaches the scan;
+    // int-only columns keep the oracle textually exact. Fixture
+    // memoized per source dir like q25/q56 so the bench times the READ
+    // path, not fixture setup.
+    "q67_orc_source" -> ((s, dir) => {
+      val tmp = orcFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_returnflag"))
+          .write.mode("overwrite").orc(d)
+        d
+      })
+      s.read.schema("l_orderkey LONG, l_partkey LONG, l_linenumber INT, l_returnflag STRING")
+        .orc(tmp)
+        .filter(col("l_linenumber") > 3)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("sum_part"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+    })
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1070,6 +1098,14 @@ object SparkEntry {
       graft.operators.Multimodal.audioSegmentsSql(segMs = 30000L, strideMs = 25000L),
 
     "q66_image_patches" ->
-      graft.operators.Multimodal.imagePatchesSql(patch = 256)
+      graft.operators.Multimodal.imagePatchesSql(patch = 256),
+
+    // q67 round-trips lineitem through ORC in Spark; the values the
+    // oracle must reproduce are the original parquet aggregates (same
+    // convention as q25's CSV / q56's JSONL round-trips)
+    "q67_orc_source" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_partkey)::BIGINT AS sum_part,
+        |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem WHERE l_linenumber > 3 GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -97,7 +97,20 @@ object Split {
 
   /** Radix-128 string range split: per-range row counts for `k` even
     * ranges of the post-common-prefix character domain. Returns
-    * (range_id, n_rows). Mirrors `RangeSplitUtil.doAsciiStringSplit`. */
+    * (range_id, n_rows). Mirrors `RangeSplitUtil.doAsciiStringSplit`.
+    *
+    * Two base-table scans total: one min/max over the key strings (the
+    * common prefix length must be known before the radix value exists),
+    * then ONE `groupBy(pv)` count. The radix-value bounds — of the
+    * MAPPED values, not pv(min-string)/pv(max-string): the >127 clamp
+    * makes the value non-monotonic in string order for non-ASCII keys,
+    * so string-derived bounds could invert — derive from that same
+    * grouped frame via a broadcast self-aggregate; the grouped exchange
+    * is planned once and reused (ReuseExchange), so the bounds pass
+    * costs no extra base scan. The per-pv frame is bounded by the
+    * distinct post-prefix character prefixes (≤ 128^chars), orders of
+    * magnitude below row count at any scale, and the final range_id
+    * re-aggregate runs over it, not the base data. */
   def stringRangeSplit(df: DataFrame, key: Column, k: Int, chars: Int = 4): DataFrame = {
     val b = df.agg(min(key).as("mn"), max(key).as("mx")).head()
     val (mn, mx) = (b.getString(0), b.getString(1))
@@ -105,15 +118,16 @@ object Split {
     var l = 0
     while (l < maxL && mn.charAt(l) == mx.charAt(l)) l += 1
     val pv = stringPrefixValue(key, l, chars)
-    // bounds of the MAPPED values, not of pv(min-string)/pv(max-string):
-    // the >127 clamp makes the radix value non-monotonic in the string
-    // order for non-ASCII keys, so string-derived bounds could invert
-    val pb = df.agg(min(pv).as("lo"), max(pv).as("hi")).head()
-    val lo = pb.getLong(0)
-    val hi = pb.getLong(1)
-    val width = (hi - lo + k) / k // >= 1: hi >= lo by construction
-    df.select(least(floor((pv - lit(lo)) / width).cast("long"), lit(k - 1L)).as("range_id"))
-      .groupBy(col("range_id")).agg(count(lit(1)).as("n_rows"))
+    val grouped = df.groupBy(pv.as("pv")).agg(count(lit(1)).as("n"))
+    val bounds = grouped.agg(min(col("pv")).as("lo"), max(col("pv")).as("hi"))
+    grouped.crossJoin(broadcast(bounds))
+      // width >= 1 (hi >= lo by construction); floor of a double division
+      // over longs < 2^53 == integer division, matching the driver-side
+      // `(hi - lo + k) / k` this replaces and the DuckDB oracle
+      .withColumn("width", floor((col("hi") - col("lo") + lit(k.toLong)) / lit(k.toLong)))
+      .select(least(floor((col("pv") - col("lo")) / col("width")).cast("long"),
+        lit(k - 1L)).as("range_id"), col("n"))
+      .groupBy(col("range_id")).agg(sum(col("n")).as("n_rows"))
   }
 
   /** The full [[stringRangeSplit]] as one DuckDB statement over table
