@@ -40,9 +40,12 @@ import org.apache.spark.sql.SparkSession
  *     In-process ladders are off by up to 2x from accumulated GC debt
  *     and cold-C2 compilation of the codegen'd merge pipeline.
  *
- *     A second, smaller replay measures hot-key skew handling (axis B):
- *     the same Zipf-skewed log applied with and without two-phase
- *     salting ([[graft.apply.BatchApply.canonicalize]]).
+ *     A second, smaller probe measures hot-key skew handling (axis B)
+ *     on one 80%-single-key log, salted vs unsalted, for BOTH aggregate
+ *     classes: the algebraic canonicalize (max_by — salting measured
+ *     unnecessary, map-side partials absorb the skew) and the
+ *     non-algebraic change-history collect ([[graft.operators
+ *     .ChangeHistory]] — the regime where range-salting wins).
  *
  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
  * SPARK_GRAFT_BENCH_EVENTS (default 8,000,000; set smaller for smoke),
@@ -289,20 +292,44 @@ object Bench {
       val effN4NMedian = trimmedMedian(att1) / (4.0 * trimmedMedian(att4))
       val effN4NMedianAll = median(att1) / (4.0 * median(att4))
 
-      // skew probe: Zipf-hot log, salted vs unsalted canonicalize
+      // skew probes: one Zipf-hot log (80% of events on ONE key), two
+      // aggregates measured salted vs unsalted, isolated from the write
+      // path so the numbers are the aggregates' own:
+      //  - canonicalize (max_by): ALGEBRAIC — map-side partials collapse
+      //    the hot key to one row per map task, so salting buys nothing
+      //    at any skew level (this rung documents the measured non-need
+      //    and why BatchApply defaults saltBuckets=1);
+      //  - change history (collect_list): NON-algebraic — partials can't
+      //    shrink the hot key below its event count, one reducer eats
+      //    80% of the log; the range-salted two-phase plan
+      //    (ChangeHistory.history) spreads it and re-merges sorted
+      //    chunks by concat. This is the regime the salting machinery
+      //    exists for.
+      // Both paths warmed once, then best-of-3 (steal is one-sided).
       val skewCfg = GenConfig(
         nEvents = math.min(benchEvents, 1000000L), nDocs = 250000L,
         nShards = 32, avgTokens = 32, nSegments = 1,
-        hotPerMille = 300, nHotDocs = 4)
+        hotPerMille = 800, nHotDocs = 1)
       val sSkew = session(32, "graft-bench-skew")
       val skewLog = ChangeLogGen.events(sSkew, skewCfg).cache()
       skewLog.count() // materialize
-      def applyOnce(salt: Int, tag: String): Double = {
-        val t = Replay.createTable(sSkew, s"$work/skew-$tag", nBuckets = 64)
-        time(graft.apply.BatchApply.apply(t, skewLog, batchId = 0, saltBuckets = salt))
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      def bestOf3(df: => DataFrame, forceCols: Seq[String]): Double = {
+        def force(): Unit = {
+          val d = df
+          d.select(bit_xor(xxhash64(forceCols.map(d(_)): _*))).head()
+        }
+        force() // warm
+        (1 to 3).map(_ => time(force())).min
       }
-      val skewUnsalted = applyOnce(1, "unsalted")
-      val skewSalted = applyOnce(8, "salted")
+      def canonDf(salt: Int) = graft.apply.BatchApply.canonicalize(skewLog, salt)
+      val skewCanonUnsalted = bestOf3(canonDf(1), Seq("doc_id", "lsn", "n_events", "min_lsn"))
+      val skewCanonSalted = bestOf3(canonDf(8), Seq("doc_id", "lsn", "n_events", "min_lsn"))
+      def histDf(salt: Int) = graft.operators.ChangeHistory.historyCsv(
+        skewLog, col("doc_id"), col("lsn"), col("op"), salt)
+      val skewHistUnsalted = bestOf3(histDf(1), Seq("key", "n_changes", "history"))
+      val skewHistSalted = bestOf3(histDf(32), Seq("key", "n_changes", "history"))
       skewLog.unpersist()
 
       // dedup-admission probe: the SAME multi-batch replay with and
@@ -362,7 +389,8 @@ object Bench {
         s""""scaling_efficiency_N_to_4N_median_all":${fmt(effN4NMedianAll)},""" +
         s""""scaling_efficiency_8_to_32":${fmt(eff832)},""" +
         s""""skew_events":${skewCfg.nEvents},"skew_hot_per_mille":${skewCfg.hotPerMille},""" +
-        s""""skew_unsalted_sec":${fmt(skewUnsalted)},"skew_salted_sec":${fmt(skewSalted)},""" +
+        s""""skew_canon_unsalted_sec":${fmt(skewCanonUnsalted)},"skew_canon_salted_sec":${fmt(skewCanonSalted)},""" +
+        s""""skew_hist_unsalted_sec":${fmt(skewHistUnsalted)},"skew_hist_salted_sec":${fmt(skewHistSalted)},""" +
         s""""dedup_events":$dedupEvents,"dedup_off_sec":${fmt(dedupOffSec)},""" +
         s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
         s""""changelog_on_sec":${fmt(changelogOnSec)}}"""

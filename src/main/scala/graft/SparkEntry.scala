@@ -686,7 +686,19 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_partkey")).as("sum_part"),
           min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
-    })
+    }),
+
+    // per-key ordered change history (the reference's multi-version
+    // "all versions of a row" surface) via the SALTED two-phase plan —
+    // results are exactly the unsalted/oracle ordering, the salt only
+    // changes the physical aggregation (spec-asserted equal; q68 runs
+    // salted so the driver's oracle validates the salted path itself)
+    "q68_change_history" -> ((s, dir) =>
+      graft.operators.ChangeHistory.historyCsv(
+        t(s, dir, "events"), col("user_id"), col("event_id"), col("event_type"),
+        saltBuckets = 8)
+        .select(col("key").as("user_id"), col("n_changes").cast("long").as("n_changes"),
+          col("history")))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1106,6 +1118,13 @@ object SparkEntry {
     "q67_orc_source" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_partkey)::BIGINT AS sum_part,
         |min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
-        |FROM lineitem WHERE l_linenumber > 3 GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem WHERE l_linenumber > 3 GROUP BY l_returnflag""".stripMargin,
+
+    // q68's history is rendered as a CSV string (arrays never ride the
+    // driver compare raw); event_id is the total order within a user
+    "q68_change_history" ->
+      """SELECT user_id, count(*) AS n_changes,
+        |string_agg(event_id || ':' || event_type, ',' ORDER BY event_id) AS history
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }

@@ -56,20 +56,26 @@ object BatchApply {
       if (saltBuckets <= 1) events
         .groupBy(col("doc_id"))
         .agg(max_by(payload, col("lsn")).as("w"), count(lit(1)).as("n_events"),
-          min(col("lsn")).as("min_lsn"), max(col("lang").isNotNull.cast("int")).as("has_lang"))
+          min(col("lsn")).as("min_lsn"), max(col("lang").isNotNull.cast("int")).as("has_lang"),
+          max((col("op") === "I").cast("int")).as("has_insert"))
       else events
         // two-phase for hot keys: salt pre-aggregation, then merge the
         // per-salt winners AND their partial stats
         .groupBy(col("doc_id"), pmod(col("lsn"), lit(saltBuckets.toLong)).as("_salt"))
         .agg(max_by(payload, col("lsn")).as("w"), count(lit(1)).as("n_events"),
-          min(col("lsn")).as("min_lsn"), max(col("lang").isNotNull.cast("int")).as("has_lang"))
+          min(col("lsn")).as("min_lsn"), max(col("lang").isNotNull.cast("int")).as("has_lang"),
+          max((col("op") === "I").cast("int")).as("has_insert"))
         .groupBy(col("doc_id"))
         .agg(max_by(col("w"), col("w.lsn")).as("w"), sum(col("n_events")).as("n_events"),
-          min(col("min_lsn")).as("min_lsn"), max(col("has_lang")).as("has_lang"))
+          min(col("min_lsn")).as("min_lsn"), max(col("has_lang")).as("has_lang"),
+          max(col("has_insert")).as("has_insert"))
     pre.select(col("doc_id"), col("w.lsn").as("lsn"), col("w.op").as("op"),
       col("w.tokens").as("tokens"), col("w.n_tok").as("n_tok"),
       col("w.source").as("source"), col("w.lang").as("lang"), col("w.shard").as("shard"),
-      col("n_events").cast("long").as("n_events"), col("min_lsn"), col("has_lang"))
+      col("n_events").cast("long").as("n_events"), col("min_lsn"), col("has_lang"),
+      // did this batch carry an INSERT for the key? (first-seen marker —
+      // dedup admission gates on it so updates never re-pay the probe)
+      col("has_insert"))
   }
 
   /** The evolved user schema this engine knows how to advance to (additive:
@@ -158,6 +164,38 @@ object BatchApply {
       deltaThreshold: Double = DefaultDeltaThreshold,
       maxDeltaChain: Int = DefaultMaxDeltaChain,
       changelog: Boolean = false): LakeTable.Snapshot = {
+    val snap = table.current
+    if (batchId >= 0 && batchId <= snap.batchId) {
+      if (changelog && batchId == snap.batchId) publishChangelog(table, batchId)
+      return snap
+    }
+    applyCanonical(table, prepare(table, batch, saltBuckets, assumeOrdered),
+      batchId, deltaThreshold, maxDeltaChain, changelog)
+  }
+
+  /** The batch's single shuffle: optional ordered-input watermark fence,
+    * then [[canonicalize]]. Public so [[graft.stream.Replay]] can run
+    * dedup admission BETWEEN canonicalize and [[applyCanonical]] —
+    * admission then rides this shuffle (one row per doc, already
+    * hash-partitioned by doc_id) instead of paying its own
+    * dropDuplicates shuffle over the raw events.
+    *
+    * The watermark fence is opt-in: ONLY sound when micro-batches are
+    * delivered in per-shard lsn order (e.g. an ordered queue source).
+    * The file source makes no such promise; the per-row lsn guard in
+    * the merge is the unconditional correctness net. */
+  def prepare(table: LakeTable, batch: DataFrame, saltBuckets: Int = 1,
+      assumeOrdered: Boolean = false): DataFrame =
+    canonicalize(fenceByWatermarks(batch, table.current.watermarks, assumeOrdered), saltBuckets)
+
+  /** [[apply]] over an already-canonicalized batch (the output of
+    * [[prepare]], possibly filtered by dedup admission — dropping a
+    * doc's canonical row is equivalent to dropping all its raw events:
+    * stats, lineage and the merge all read canonical rows only). */
+  def applyCanonical(table: LakeTable, canonicalIn: DataFrame, batchId: Long,
+      deltaThreshold: Double = DefaultDeltaThreshold,
+      maxDeltaChain: Int = DefaultMaxDeltaChain,
+      changelog: Boolean = false): LakeTable.Snapshot = {
     var snap = table.current
     // ---- exactly-once fence: retry of an already-committed batch.
     //      With the feed enabled, the only changelog work possibly left
@@ -169,14 +207,7 @@ object BatchApply {
       return snap
     }
 
-    // ---- optional input fence: drop events at-or-below the shard
-    //      watermark. ONLY sound when micro-batches are delivered in
-    //      per-shard lsn order (e.g. an ordered queue source). The file
-    //      source makes no such promise, so this is opt-in; the per-row
-    //      lsn guard below is the unconditional correctness net.
-    val fenced = fenceByWatermarks(batch, snap.watermarks, assumeOrdered)
-
-    val canonical = canonicalize(fenced, saltBuckets)
+    val canonical = canonicalIn
       .withColumn("bucket", LakeTable.bucketExpr(col("doc_id"), snap.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -238,7 +269,7 @@ object BatchApply {
       // (read via sessionState: RuntimeConfig.get(key, default) VALIDATES
       // the default string, and "0" is rejected when the session never
       // set the key explicitly — the spark-submit case)
-      val aligned = batch.sparkSession.sessionState.conf.numShufflePartitions == snap.nBuckets
+      val aligned = canonicalIn.sparkSession.sessionState.conf.numShufflePartitions == snap.nBuckets
 
       // ---- COW side: full-outer merge against the resolved target
       val cowFiles: Seq[LakeTable.DataFile] = if (cowBuckets.isEmpty) Nil else {

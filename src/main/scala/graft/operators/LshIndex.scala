@@ -132,12 +132,16 @@ object LshIndex {
     val spark = staged.sparkSession
     staged.select(col("doc_id"), col("grams"))
       .withColumn("gb", gbCol(col("doc_id"), m))
-      .repartition(col("gb")).sortWithinPartitions("doc_id")
+      .repartition(col("gb")).sortWithinPartitions("gb", "doc_id")
       .write.mode(SaveMode.Overwrite).partitionBy("gb").parquet(s"$path/grams")
     val banded = bandRows(staged, m).withColumn("kb", kbCol(m))
-    // spread each (band_idx, kb) dir across tasks by band_key so a
-    // large corpus build is not bottlenecked on one task per dir
-    banded.repartition(col("band_idx"), col("kb"), col("band_key"))
+    // one task per (band_idx, kb) dir => one file per dir. Write
+    // parallelism = bands x keyBuckets (128 at defaults) — at corpus
+    // scale raise keyBuckets, never the per-dir task count: spreading a
+    // dir across tasks multiplies file count by the task count (measured
+    // 8k files at one bench build; every later probe paid the listing)
+    banded.repartition(col("band_idx"), col("kb"))
+      .sortWithinPartitions("band_idx", "kb")
       .write.mode(SaveMode.Overwrite).partitionBy("band_idx", "kb").parquet(s"$path/bands")
     banded.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("cnt"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/occ")
@@ -147,42 +151,63 @@ object LshIndex {
     metaCache.put(path, m)
   }
 
-  /** Append an admitted batch's band rows + gram sets to the index
+  /** Append an admitted batch's docs to the index
     * (the recompute path — [[indexAdmitted]] reuses the probe's staged
     * frame instead when admission ran). */
   def append(batch: DataFrame, path: String): Unit = {
     val m = readMeta(batch.sparkSession, path)
     val staged = Mat.materializeIterReleasable(
       Dedup.sigAndGrams(batch.dropDuplicates("doc_id"), m.n, m.k))
-    appendFrames(staged.df, path, m)
+    appendTail(staged.df, path, m)
     staged.release()
   }
 
-  /** The shared append tail over a staged (doc_id, sig, grams) frame.
-    * Crash ordering — grams BEFORE bands (a band row whose gram set is
-    * missing would silently drop its verified pairs; the reverse
-    * merely stores unreachable grams), occupancy after bands (an
-    * undercount only delays the mega-bucket cap). Any partial append
-    * degrades dedup RECALL for that batch, never table correctness —
-    * same contract as the post-commit ordering note on
+  /** Per-batch appends land in the LSM TAIL: one flat parquet append of
+    * one nested row per doc — (doc_id, gb, grams, bands array). ONE
+    * write job per batch (measured: the previous per-batch writes into
+    * the partitioned base stores cost ~4 s/batch at 150k docs, ~80% of
+    * it dynamic-partition-dir overhead for 192 dirs; this is ~0.7 s).
+    * Probes read base (DPP-pruned) UNION tail (scanned fully — small
+    * between compactions); [[compact]] folds the tail into the base.
+    * A torn append is impossible (one atomic job); a LOST append (crash
+    * before it) degrades dedup recall for that batch, never table
+    * correctness — same contract as the ordering note on
     * [[indexAdmitted]]. */
-  private def appendFrames(staged: DataFrame, path: String, m: Meta): Unit = {
-    // repartition by the partition dirs: one file per touched dir per
-    // batch (otherwise every task writes a sliver into every dir);
-    // grams sorted by doc_id inside each bucket so the point-lookup
-    // verify's IN pushdown skips pages
-    staged.select(col("doc_id"), col("grams"))
-      .withColumn("gb", gbCol(col("doc_id"), m))
-      .repartition(col("gb")).sortWithinPartitions("doc_id")
-      .write.mode(SaveMode.Append).partitionBy("gb").parquet(s"$path/grams")
-    val banded = bandRows(staged, m)
-    banded.withColumn("kb", kbCol(m))
-      .repartition(col("band_idx"), col("kb"))
-      .write.mode(SaveMode.Append).partitionBy("band_idx", "kb").parquet(s"$path/bands")
-    banded.groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("cnt"))
-      .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$path/occ")
+  private def appendTail(staged: DataFrame, path: String, m: Meta): Unit =
+    tailRows(staged, m)
+      .coalesce(4)
+      .write.mode(SaveMode.Append).parquet(s"$path/tail")
+
+  /** Staged frame -> tail layout (doc_id, gb, grams, bands). */
+  private def tailRows(staged: DataFrame, m: Meta): DataFrame = {
+    val r = m.k / m.bands
+    staged.select(col("doc_id"), gbCol(col("doc_id"), m).as("gb"), col("grams"),
+      array((0 until m.bands).map { b =>
+        val bk = xxhash64(slice(col("sig"), b * r + 1, r))
+        struct(lit(b).as("band_idx"), bk.as("band_key"),
+          pmod(hash(bk), lit(m.kb)).as("kb"))
+      }: _*).as("bands"))
   }
+
+  /** The tail store, if any rows have been appended since the last
+    * [[compact]]. */
+  private def readTail(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tail")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData) Some(spark.read.parquet(s"$path/tail")) else None
+  }
+
+  /** Tail rows rendered in the base `bands/` layout. */
+  private def tailBandsOf(tail: DataFrame): DataFrame =
+    tail.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_key").as("band_key"), col("b.kb").as("kb"))
+
+  /** Tail rows rendered in the base `grams/` layout. */
+  private def tailGramsOf(tail: DataFrame): DataFrame =
+    tail.select(col("doc_id"), col("grams"), col("gb"))
 
   /** Near-duplicates of each batch doc among the indexed corpus:
     * (doc_id, dup_of, jaccard), one row per verified pair. Band
@@ -207,58 +232,73 @@ object LshIndex {
     * sizes, so nothing here forces an action):
     *
     *   staged(doc_id, sig, grams)                 [persisted, reused]
-    *     -> band rows -> anti-join over-cap keys  [occ partial sums]
+    *     -> band rows -> anti-join over-cap keys  [occ partials + tail]
     *     -> BROADCAST -> join bands/ on (band_idx, kb, band_key)
-    *                                              [DPP to touched kb]
+    *                     and tail bands            [base DPP to touched kb]
     *     -> distinct candidates + batch grams
-    *     -> BROADCAST -> join grams/ on (gb, doc_id)
-    *                                              [DPP to touched gb]
+    *     -> BROADCAST -> join grams/ on (gb, doc_id) and tail grams
+    *                                              [base DPP to touched gb]
     *     -> exact Jaccard >= threshold
-    */
+    *
+    * Base and tail are joined SEPARATELY and unioned (not a union of
+    * scans under one join) so dynamic partition pruning stays attached
+    * to the partitioned base scans; the tail is flat and small between
+    * compactions, so its unpruned scan is O(recent batches). */
   private[operators] def probeStaged(batch: DataFrame, path: String,
       threshold: Double, maxBucketSize: Int, dedupe: Boolean = true): Probed = {
     val spark = batch.sparkSession
     val m = readMeta(spark, path)
-    // either this dropDuplicates or the caller's ([[admit]]) leaves the
-    // frame hash-partitioned by doc_id, so the staged scan skips its
-    // parallelism repartition in both cases
+    // either this dropDuplicates or the caller's ([[admitCanonical]])
+    // leaves the frame hash-partitioned by doc_id, so the staged scan
+    // skips its parallelism repartition in both cases
     val docs = if (dedupe) batch.dropDuplicates("doc_id") else batch
     val staged = Mat.materializeIterReleasable(
       Dedup.sigAndGrams(docs, m.n, m.k, shuffled = true))
+    val tail = readTail(spark, path)
     val probeBands = bandRows(staged.df, m)
     // mega-bucket cap from the INCREMENTAL occupancy partials (sum per
-    // key — O(distinct keys), never the corpus band table), applied to
-    // the probe side: an inner equi-join makes that result-identical
-    // to filtering the index side, the over-cap key set is tiny (so it
-    // broadcasts), and the index scan stays free to DPP-prune. Skipped
-    // entirely at Int.MaxValue (same short-circuit as Dedup.capBuckets).
+    // key — O(distinct keys), never the corpus band table) plus the
+    // uncompacted tail's counts, applied to the probe side: an inner
+    // equi-join makes that result-identical to filtering the index side,
+    // the over-cap key set is tiny (so it broadcasts), and the index
+    // scan stays free to DPP-prune. Skipped entirely at Int.MaxValue
+    // (same short-circuit as Dedup.capBuckets).
     val probeCapped =
       if (maxBucketSize == Int.MaxValue) probeBands
       else {
-        val bigBuckets = spark.read.parquet(s"$path/occ")
+        val basePartials = spark.read.parquet(s"$path/occ")
+        val partials = tail.map(t => basePartials.unionByName(
+          tailBandsOf(t).groupBy(col("band_idx"), col("band_key"))
+            .agg(count(lit(1)).cast("long").as("cnt")))).getOrElse(basePartials)
+        val bigBuckets = partials
           .groupBy(col("band_idx"), col("band_key")).agg(sum(col("cnt")).as("bucket_n"))
           .filter(col("bucket_n") > maxBucketSize)
           .select(col("band_idx"), col("band_key"))
         probeBands.join(bigBuckets, Seq("band_idx", "band_key"), "left_anti")
       }
-    val idxBands = spark.read.parquet(s"$path/bands")
-    val cand = broadcast(probeCapped.withColumn("kb", kbCol(m))).as("a")
+    val probeB = broadcast(probeCapped.withColumn("kb", kbCol(m)))
+    def candAgainst(idxBands: DataFrame): DataFrame = probeB.as("a")
       .join(idxBands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.kb") === col("b.kb") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
-      .distinct()
-    val idxGrams = spark.read.parquet(s"$path/grams")
+    val candBase = candAgainst(spark.read.parquet(s"$path/bands"))
+    val cand = tail.map(t => candBase.unionByName(candAgainst(tailBandsOf(t))))
+      .getOrElse(candBase).distinct()
     val candWithGrams = cand.withColumn("gb", gbCol(col("dup_of"), m)).as("c")
       .join(staged.df.as("ga"), col("c.doc_id") === col("ga.doc_id"))
       .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
         col("c.gb").as("gb"), col("ga.grams").as("grams_a"))
-    val out = broadcast(candWithGrams).as("cg")
+    val candB = broadcast(candWithGrams)
+    def verifyAgainst(idxGrams: DataFrame): DataFrame = candB.as("cg")
       .join(idxGrams.as("gi"),
         col("cg.gb") === col("gi.gb") && col("cg.dup_of") === col("gi.doc_id"))
       .withColumn("jaccard", round(Dedup.jaccard(col("cg.grams_a"), col("gi.grams")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("cg.doc_id").as("doc_id"), col("cg.dup_of").as("dup_of"), col("jaccard"))
+    val outBase = verifyAgainst(spark.read.parquet(s"$path/grams"))
+    val out = tail.map(t => outBase.unionByName(verifyAgainst(tailGramsOf(t))))
+      .getOrElse(outBase)
     Probed(out, staged)
   }
 
@@ -296,19 +336,34 @@ object LshIndex {
     * the same index. */
   def compact(spark: SparkSession, path: String): Unit = {
     val m = readMeta(spark, path)
+    val tail = readTail(spark, path)
+    // fold the tail into each base store; dropDuplicates on the store
+    // key makes a re-run after a mid-compact crash idempotent (the
+    // tail is deleted LAST, so a partial fold re-folds the same rows)
     swapRewrite(spark, s"$path/bands") { df =>
-      df.repartition(col("band_idx"), col("kb"))
+      tail.map(t => df.unionByName(tailBandsOf(t))).getOrElse(df)
+        .dropDuplicates("doc_id", "band_idx")
+        .repartition(col("band_idx"), col("kb"))
+        .sortWithinPartitions("band_idx", "kb")
         .write.mode(SaveMode.Overwrite).partitionBy("band_idx", "kb")
     }
     swapRewrite(spark, s"$path/grams") { df =>
-      df.repartition(col("gb")).sortWithinPartitions("doc_id")
+      tail.map(t => df.unionByName(tailGramsOf(t))).getOrElse(df)
+        .dropDuplicates("doc_id")
+        .repartition(col("gb")).sortWithinPartitions("gb", "doc_id")
         .write.mode(SaveMode.Overwrite).partitionBy("gb")
     }
-    swapRewrite(spark, s"$path/occ") { df =>
-      df.groupBy(col("band_idx"), col("band_key")).agg(sum(col("cnt")).as("cnt"))
+    // occupancy is recomputed exactly from the POST-fold bands store
+    // (never summed with the tail's counts: a crash between the bands
+    // swap and here would double-count the tail on the re-run)
+    swapRewrite(spark, s"$path/occ") { _ =>
+      spark.read.parquet(s"$path/bands")
+        .groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("cnt"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite)
     }
+    val tailPath = new org.apache.hadoop.fs.Path(s"$path/tail")
+    tailPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tailPath, true)
     val _ = m // parameters pinned; compaction never changes them
   }
 
@@ -343,7 +398,7 @@ object LshIndex {
   def dataFileCount(spark: SparkSession, path: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("bands", "grams", "occ").map { store =>
+    Seq("bands", "grams", "occ", "tail").map { store =>
       val p = new org.apache.hadoop.fs.Path(root, store)
       if (!fs.exists(p)) 0L
       else {
@@ -355,30 +410,56 @@ object LshIndex {
     }.sum
   }
 
-  /** Result of [[admit]]: the batch with every event of a near-dup doc
-    * removed, the admitted docs' (doc_id, text) side, the dropped-doc
-    * count, the probe's staged (doc_id, sig, grams) frame + the
-    * dropped-doc filter over it (so [[indexAdmitted]] builds/appends
-    * WITHOUT re-shingling), and a release for all cached
-    * intermediates — callers release AFTER [[indexAdmitted]]. */
+  /** Distinct doc_ids the index currently holds (base + tail) — the
+    * public observable for specs and maintenance tooling. */
+  def indexedDocs(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/grams").select("doc_id")
+    readTail(spark, path).map(t => base.unionByName(t.select("doc_id")))
+      .getOrElse(base).distinct()
+  }
+
+  /** Result of [[admitCanonical]]: the canonical batch with every
+    * dropped doc's row removed, the dropped-doc count, the probe's
+    * staged (doc_id, sig, grams) frame + the dropped-doc filter over it
+    * (so [[indexAdmitted]] builds/appends WITHOUT re-shingling), and a
+    * release for all cached intermediates — callers release AFTER
+    * [[indexAdmitted]]. */
   final case class Admission(
       admitted: DataFrame,
-      admittedDocs: DataFrame,
       droppedDocs: Long,
       release: () => Unit,
       private[operators] val staged: Option[DataFrame] = None,
       private[operators] val admittedOf: DataFrame => DataFrame = identity)
 
-  /** Streaming-ingest admission — dedup-on-ingest as a replay step.
+  /** Streaming-ingest admission — dedup-on-ingest as a replay step,
+    * fed the CANONICAL batch ([[graft.apply.BatchApply.prepare]]'s
+    * output: one row per doc, already hash-partitioned by doc_id — so
+    * admission rides the batch's existing shuffle and never re-groups
+    * the raw events).
     *
-    * The batch's insert/update docs (text = the token sequence rendered
-    * as space-joined ids, so shingles are token n-grams) [[probe]] the
-    * index; every event of a doc that near-duplicates a DIFFERENT
-    * already-indexed doc is dropped from the batch (a doc re-matching
-    * itself — an update to an admitted doc — is explicitly excluded).
-    * Dropped (doc_id, dup_of, jaccard) rows land under
+    * Gate: only docs whose batch carried an INSERT (`has_insert`) probe
+    * the index — a first-seen doc pays shingle+minhash+probe exactly
+    * once, and UPDATE traffic to already-admitted docs flows through at
+    * zero admission cost (it also never re-appends to the index, so the
+    * index holds ONE gram set per doc — first version — rather than one
+    * per update). Docs that were DROPPED as dups stay dropped: their
+    * later updates are suppressed by the sticky dropped-ids set
+    * (`indexDir/dropped_ids/`, tiny, broadcast as an IN filter) — a doc
+    * re-enters only via a fresh insert, which re-probes. Two disclosed
+    * consequences: (1) an update that rewrites an ADMITTED doc into a
+    * near-dup of another doc is not re-checked (offline cluster dedup
+    * owns that case); (2) a doc whose first-ever event arrives as an
+    * UPDATE (out-of-order CDC start) bypasses admission and is not
+    * indexed.
+    *
+    * The probed docs' text = the token sequence rendered as
+    * space-joined ids, so shingles are token n-grams. Every doc
+    * verifying as a near-dup of a DIFFERENT indexed doc is dropped;
+    * (doc_id, dup_of, jaccard) rows land under
     * `indexDir/dropped/batch_id=N/` as the audit trail (idempotent
-    * overwrite per retried batch, same layout rule as the quarantine).
+    * overwrite per retried batch) and the ids append to `dropped_ids/`
+    * (re-appends on a retried batch are harmless: the set is read with
+    * distinct semantics).
     *
     * Granularity disclosure: admission is batch-vs-corpus — near-dup
     * pairs WITHIN one micro-batch are both admitted (and both indexed;
@@ -387,28 +468,37 @@ object LshIndex {
     * over the batch if a job wants it.
     *
     * With no index at `indexDir` yet, everything is admitted and the
-    * batch is STILL staged (with the spec's n/k) so the caller's
-    * [[indexAdmitted]] builds the index from the staged frame without
-    * re-shingling; thereafter probe parameters always come from the
-    * index's own meta descriptor. */
-  def admit(batch: DataFrame, indexDir: String, threshold: Double,
+    * batch's inserts are STILL staged (with the spec's n/k) so the
+    * caller's [[indexAdmitted]] builds the index from the staged frame
+    * without re-shingling; thereafter probe parameters always come from
+    * the index's own meta descriptor. */
+  def admitCanonical(canonical: DataFrame, indexDir: String, threshold: Double,
       maxBucketSize: Int, batchId: Long, n: Int, k: Int): Admission = {
-    val spark = batch.sparkSession
-    val docs = batch
-      .filter(col("op") =!= "D" && col("tokens").isNotNull)
+    val spark = canonical.sparkSession
+    val docs = canonical
+      .filter(col("has_insert") === 1 && col("op") =!= "D" && col("tokens").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
-      .dropDuplicates("doc_id")
     if (!exists(spark, indexDir)) {
       val staged = Mat.materializeIterReleasable(
         Dedup.sigAndGrams(docs, n, k, shuffled = true))
-      return Admission(batch, docs, 0L, staged.release, Some(staged.df))
+      return Admission(canonical, 0L, staged.release, Some(staged.df))
     }
     val probed = probeStaged(docs, indexDir, threshold, maxBucketSize, dedupe = false)
     val pairs = probed.pairs.filter(col("doc_id") =!= col("dup_of"))
     val droppedDir = s"$indexDir/dropped/batch_id=$batchId"
+    // the sticky dropped set (small: only ever-verified dup docs). Read
+    // once per batch; empty until the first drop happens.
+    val stickyIds: Array[Any] = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/dropped_ids")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(s"$indexDir/dropped_ids").distinct()
+          .collect().map(_.get(0))
+      else Array.empty
+    }
     // steady state: ONE bounded action runs the whole probe plan and
     // lands the (tiny) verified pairs on the driver — the audit write
-    // becomes a local single-task job and the batch/staged filters
+    // becomes a local single-task job and the canonical/staged filters
     // become codegen'd IN-set predicates instead of per-batch joins.
     // The limit+1 collect detects overflow; above the bound the rare
     // dup-storm batch falls back to the fully distributed path.
@@ -417,24 +507,45 @@ object LshIndex {
       spark.createDataFrame(java.util.Arrays.asList(local: _*), pairs.schema)
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(droppedDir)
       val ids = local.map(_.get(0)).distinct
-      val keep =
-        if (ids.isEmpty) lit(true)
-        else !col("doc_id").isin(ids.toIndexedSeq: _*)
+      if (ids.nonEmpty) {
+        import spark.implicits._
+        ids.map(_.toString).toSeq.toDF("doc_id")
+          .coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/dropped_ids")
+      }
+      val allDropIds = (ids ++ stickyIds).distinct
+      // IN-set predicate while the drop set is small (the common case);
+      // a huge sticky set would bloat the codegen'd plan, so past the
+      // same bound as the collect it becomes an anti-join instead
+      def dropFiltered(df: DataFrame): DataFrame =
+        if (allDropIds.isEmpty) df
+        else if (allDropIds.length <= PointLookupMax)
+          df.filter(!col("doc_id").isin(allDropIds.toIndexedSeq: _*))
+        else {
+          import spark.implicits._
+          df.join(broadcast(allDropIds.map(_.toString).toSeq.toDF("doc_id")),
+            Seq("doc_id"), "left_anti")
+        }
+      val keepNew =
+        if (ids.isEmpty) lit(true) else !col("doc_id").isin(ids.toIndexedSeq: _*)
       Admission(
-        admitted = if (ids.isEmpty) batch else batch.filter(keep),
-        admittedDocs = if (ids.isEmpty) docs else docs.filter(keep),
+        admitted = dropFiltered(canonical),
         droppedDocs = ids.length.toLong,
         release = probed.release,
         staged = Some(probed.staged.df),
-        admittedOf = st => if (ids.isEmpty) st else st.filter(keep))
+        // the staged frame holds only this batch's insert docs — sticky
+        // ids from past batches cannot appear in it
+        admittedOf = st => if (ids.isEmpty) st else st.filter(keepNew))
     } else {
       val h = Mat.materializeIterReleasable(pairs)
       h.df.write.mode(SaveMode.Overwrite).parquet(droppedDir)
       val dupIds = h.df.select("doc_id").distinct()
+      dupIds.coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/dropped_ids")
       val dropped = dupIds.count() // dupIds is small (verified pairs only)
+      val stickyKeep =
+        if (stickyIds.isEmpty) lit(true)
+        else !col("doc_id").isin(stickyIds.toIndexedSeq: _*)
       Admission(
-        admitted = batch.join(dupIds, Seq("doc_id"), "left_anti"),
-        admittedDocs = docs.join(dupIds, Seq("doc_id"), "left_anti"),
+        admitted = canonical.filter(stickyKeep).join(dupIds, Seq("doc_id"), "left_anti"),
         droppedDocs = dropped,
         release = () => { h.release(); probed.release() },
         staged = Some(probed.staged.df),
@@ -442,25 +553,23 @@ object LshIndex {
     }
   }
 
-  /** Index the admitted docs of a committed batch: first batch builds
-    * the index (spec params), later batches append — reusing the
-    * probe's staged (doc_id, sig, grams) frame (anti-joined against
-    * the dropped ids) so the batch is never re-shingled. Callers run
-    * this AFTER the lake commit: a crash in between loses only index
-    * entries (later dups of them get admitted — degraded dedup
-    * recall), never table rows; the reverse order could drop data on a
-    * foreachBatch retry. */
+  /** Index the admitted insert docs of a committed batch: first batch
+    * builds the index (spec params), later batches append ONE tail file
+    * set — reusing the probe's staged (doc_id, sig, grams) frame
+    * (filtered by the dropped ids) so the batch is never re-shingled.
+    * Callers run this AFTER the lake commit: a crash in between loses
+    * only index entries (later dups of them get admitted — degraded
+    * dedup recall), never table rows; the reverse order could drop data
+    * on a foreachBatch retry. */
   def indexAdmitted(a: Admission, indexDir: String,
       n: Int, k: Int, bands: Int): Unit = {
-    val spark = a.admittedDocs.sparkSession
-    if (!exists(spark, indexDir)) a.staged match {
-      case Some(st) => buildFromStaged(a.admittedOf(st), indexDir,
+    val st = a.staged.getOrElse(throw new IllegalStateException(
+      "indexAdmitted requires the admission's staged frame"))
+    val spark = st.sparkSession
+    if (!exists(spark, indexDir))
+      buildFromStaged(a.admittedOf(st), indexDir,
         Meta(n, k, bands, DefaultKeyBuckets, DefaultGramBuckets))
-      case None => build(a.admittedDocs, indexDir, n, k, bands)
-    } else a.staged match {
-      case Some(st) => appendFrames(a.admittedOf(st), indexDir,
-        readMeta(spark, indexDir))
-      case None => append(a.admittedDocs, indexDir)
-    }
+    else
+      appendTail(a.admittedOf(st), indexDir, readMeta(spark, indexDir))
   }
 }

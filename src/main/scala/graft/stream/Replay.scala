@@ -130,19 +130,34 @@ object Replay {
           else Some(graft.apply.DirtyRouter.route(
             transform(raw), batchId, quarantineDir, errorLimit))
         var admission: Option[graft.operators.LshIndex.Admission] = None
+        var canonicalCache: Option[DataFrame] = None
         try {
           if (!fenced) {
             val cleanBatch = split.map(_.clean).getOrElse(transform(raw))
-            // near-dup admission (dedup-on-ingest): probe the persisted
-            // LSH index, drop events of docs duplicating indexed docs
-            admission = dedup.map(dx => graft.operators.LshIndex.admit(
-              cleanBatch, dx.indexDir, dx.threshold, dx.maxBucketSize, batchId,
-              dx.n, dx.k))
-            val batch = admission.map(_.admitted).getOrElse(cleanBatch)
-            val snap = BatchApply.apply(table, batch, batchId, saltBuckets,
-              assumeOrdered = assumeOrdered,
-              deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
-              changelog = changelog)
+            // near-dup admission (dedup-on-ingest) rides the batch's
+            // CANONICALIZE shuffle: one row per doc, already
+            // hash-partitioned by doc_id — the probe, the drop filter
+            // and the merge all reuse the same persisted frame, so
+            // admission adds no extra pass over the raw events
+            val snap = dedup match {
+              case Some(dx) =>
+                val canonical = BatchApply.prepare(
+                    table, cleanBatch, saltBuckets, assumeOrdered)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                canonicalCache = Some(canonical)
+                val a = graft.operators.LshIndex.admitCanonical(
+                  canonical, dx.indexDir, dx.threshold, dx.maxBucketSize, batchId,
+                  dx.n, dx.k)
+                admission = Some(a)
+                BatchApply.applyCanonical(table, a.admitted, batchId,
+                  deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
+                  changelog = changelog)
+              case None =>
+                BatchApply.apply(table, cleanBatch, batchId, saltBuckets,
+                  assumeOrdered = assumeOrdered,
+                  deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
+                  changelog = changelog)
+            }
             if (snap.batchId == batchId) {
               appliedRows += snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
               // index the admitted docs AFTER the lake commit: a crash in
@@ -183,6 +198,7 @@ object Replay {
         } finally {
           split.foreach(_.release())
           admission.foreach(_.release())
+          canonicalCache.foreach(_.unpersist(false))
         }
         metrics.foreach { m =>
           m.batches.incrementAndGet()

@@ -321,9 +321,11 @@ class JobSpecSuite extends AnyFunSuite {
     val dropped2 = spark.read.parquet(s"$dir/idx/dropped/batch_id=2")
       .select("doc_id").distinct().collect().map(_.getString(0))
     assert(dropped2.toSet == Set("E"))
-    // index holds only admitted docs (A twice: original + update append)
-    val indexed = spark.read.parquet(s"$dir/idx/grams").select("doc_id")
-      .distinct().collect().map(_.getString(0)).toSet
+    // index holds only admitted docs, one gram set each (A's update is
+    // insert-gated — never re-probed, never re-appended); D landed in
+    // the LSM tail, so read through the base+tail observable
+    val indexed = graft.operators.LshIndex.indexedDocs(spark, s"$dir/idx")
+      .collect().map(_.getString(0)).toSet
     assert(indexed == Set("A", "B", "D"))
   }
 

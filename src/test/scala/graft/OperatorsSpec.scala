@@ -124,23 +124,39 @@ class OperatorsSpec extends AnyFunSuite {
     val probeBatch = slice(6)
     val before = LshIndex.probe(probeBatch, path, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val filesBefore = LshIndex.dataFileCount(spark, path)
     LshIndex.compact(spark, path)
+    // compaction folds the LSM tail away entirely; the compacted base is
+    // one file per populated partition dir (+occ) — a function of the
+    // DIR SET, independent of how many batches were ever appended. (At
+    // this tiny scale the flat tail can hold fewer files than the
+    // per-dir layout it folds into, so "strictly fewer files" is not
+    // the invariant; boundedness under repeated append+compact is.)
+    val fsC = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(!fsC.exists(new org.apache.hadoop.fs.Path(s"$path/tail")),
+      "compact must delete the folded tail")
     val filesAfter = LshIndex.dataFileCount(spark, path)
-    assert(filesAfter < filesBefore,
-      s"compaction must shrink the store: $filesBefore -> $filesAfter")
-    // ~one file per touched partition dir + one occupancy file: far
-    // fewer than the per-batch accretion (5 appends x dirs x tasks)
     val after = LshIndex.probe(probeBatch, path, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after == before, s"probe must be unchanged by compaction; " +
       s"only-before=${before -- after}, only-after=${after -- before}")
-    // appends after compaction keep working and re-compaction stays stable
+    // appends after compaction keep working; re-appending the SAME
+    // batches plus one new slice and re-compacting dedups on the store
+    // key — the file count lands on the new dir set's bound, and a
+    // further duplicate-only cycle returns the IDENTICAL count
+    (1 to 4).foreach(i => LshIndex.append(slice(i), path))
     LshIndex.append(slice(5), path)
     LshIndex.compact(spark, path)
+    val filesStable = LshIndex.dataFileCount(spark, path)
     val afterAppend = LshIndex.probe(probeBatch, path, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(afterAppend.size >= before.size)
+    LshIndex.append(slice(5), path) // pure duplicates
+    LshIndex.compact(spark, path)
+    assert(LshIndex.dataFileCount(spark, path) == filesStable,
+      s"append+compact of duplicate docs must not grow the store past $filesStable")
+    assert(filesAfter <= filesStable,
+      s"dir-set growth only: $filesAfter -> $filesStable")
     // crash-heal: a store left swapped-out (live missing, .old present —
     // the window between compact's two renames) is recovered on rerun
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -805,5 +821,31 @@ class OperatorsSpec extends AnyFunSuite {
     // identical assignment under a different input partitioning
     val again = TextAnalysis.shuffleShards(docs.repartition(17), nShards = 4)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("change history: salted two-phase plan == unsalted plan on a skewed log") {
+    import graft.operators.ChangeHistory
+    // 10k events, 70% on one hot key, the rest over 500 keys; seq is a
+    // permuted (not monotone-by-key) order so salting actually splits
+    val ev = spark.range(10000).select(
+      when(pmod(col("id") * 7919L, lit(10L)) < 7, lit("hot"))
+        .otherwise(concat(lit("k"), pmod(col("id") * 104729L, lit(500L)))).as("k"),
+      pmod(col("id") * 999983L, lit(1000000L)).as("seq"),
+      concat(lit("p"), pmod(col("id"), lit(3L))).as("payload"))
+    def csv(salt: Int) =
+      ChangeHistory.historyCsv(ev, col("k"), col("seq"), col("payload"), salt)
+    val unsalted = csv(1)
+    for (salt <- Seq(2, 8, 32)) {
+      val salted = csv(salt)
+      assert(unsalted.exceptAll(salted).isEmpty && salted.exceptAll(unsalted).isEmpty,
+        s"salted($salt) history differs from unsalted")
+    }
+    // histories really are seq-ascending and complete
+    val h = ChangeHistory.history(ev, col("k"), col("seq"), col("payload"), 8)
+    assert(h.agg(sum("n_changes")).head.getLong(0) == 10000L)
+    val notSorted = h.filter(
+      exists(zip_with(col("history"), slice(col("history"), 2, 1000000),
+        (a, b) => a.getField("seq") > b.getField("seq")), x => x)).count()
+    assert(notSorted == 0)
   }
 }
