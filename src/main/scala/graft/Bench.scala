@@ -363,6 +363,29 @@ object Bench {
         Some(graft.model.DedupSpec(s"$work/dx-index-on", threshold = 0.8,
           n = 3, k = 16, bands = 4, maxBucketSize = 1000)))
 
+      // insert-share sensitivity: the SAME replay shape on an
+      // UPDATE-HEAVY log (10% inserts vs the default 60%) — admission is
+      // insert-gated (only docs whose batch carries an insert probe the
+      // index), so the production-realistic CDC regime pays admission on
+      // the insert fraction only. Reported beside the insert-heavy pair
+      // so the overhead reads as per-insert-doc, not per-event.
+      val updCfg = dxCfg.copy(pctInsert = 10, pctUpdate = 80)
+      ChangeLogGen.write(sDx, updCfg, s"$work/dxlog-upd")
+      def updReplay(tag: String, dedup: Option[graft.model.DedupSpec]): Double = {
+        val sec = time(Replay.replay(sDx, s"$work/dxlog-upd",
+          s"$work/dxu-table-$tag", s"$work/dxu-cp-$tag",
+          nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
+          dedup = dedup))
+        Seq(s"$work/dxu-table-$tag", s"$work/dxu-cp-$tag", s"$work/dxu-index-$tag").foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        sec
+      }
+      val dedupUpdOffSec = updReplay("off", None)
+      val dedupUpdOnSec = updReplay("on",
+        Some(graft.model.DedupSpec(s"$work/dxu-index-on", threshold = 0.8,
+          n = 3, k = 16, bands = 4, maxBucketSize = 1000)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/dxlog-upd"))
+
       // change-feed probe: the SAME replay with writer.changelog on —
       // the per-batch cost of the extra O(batch) canonical-rows parquet
       // write (dedup_off_sec is the exact no-feed baseline: same log,
@@ -393,6 +416,7 @@ object Bench {
         s""""skew_hist_unsalted_sec":${fmt(skewHistUnsalted)},"skew_hist_salted_sec":${fmt(skewHistSalted)},""" +
         s""""dedup_events":$dedupEvents,"dedup_off_sec":${fmt(dedupOffSec)},""" +
         s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
+        s""""dedup_upd_off_sec":${fmt(dedupUpdOffSec)},"dedup_upd_on_sec":${fmt(dedupUpdOnSec)},""" +
         s""""changelog_on_sec":${fmt(changelogOnSec)}}"""
     }
 

@@ -24,6 +24,9 @@ object SparkEntry {
   /** q67's ORC fixture dirs, keyed by source dir (see q67_orc_source). */
   private val orcFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q69's nested-metadata parquet fixture dirs, keyed by source dir. */
+  private val exifFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q62's lake-with-changelog fixture roots, keyed by source dir. */
   private val lakeFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -699,6 +702,28 @@ object SparkEntry {
         saltBuckets = 8)
         .select(col("key").as("user_id"), col("n_changes").cast("long").as("n_changes"),
           col("history")))
+,
+
+    // EXIF-ish typed nested metadata, round-tripped through parquet and
+    // read back selecting TWO LEAVES of the struct — nested-schema
+    // pruning means the scan reads only those column chunks
+    // (spec-asserted on ReadSchema); the aggregate is over the pruned
+    // read so the oracle validates the pruned path's values. Fixture
+    // memoized per source dir like q67.
+    "q69_exif_prune" -> ((s, dir) => {
+      val tmp = exifFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-exif").toString
+        graft.operators.Multimodal.exifMetadata(t(s, dir, "documents"))
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      s.read.parquet(tmp)
+        .select(col("meta.capture.device").as("device"),
+          col("meta.capture.orientation").as("orientation"),
+          col("meta.pixels.width").as("width"))
+        .groupBy(col("device"), col("orientation"))
+        .agg(count(lit(1)).as("n"), sum(col("width")).as("sum_w"))
+    })
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1125,6 +1150,14 @@ object SparkEntry {
     "q68_change_history" ->
       """SELECT user_id, count(*) AS n_changes,
         |string_agg(event_id || ':' || event_type, ',' ORDER BY event_id) AS history
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // q69's values the oracle reproduces from documents directly (the
+    // nested parquet round-trip + leaf pruning is the Spark-side
+    // surface; the leaves' arithmetic is shared via exifLeavesSql)
+    "q69_exif_prune" ->
+      s"""SELECT device, orientation, count(*) AS n, sum(width)::BIGINT AS sum_w
+         |FROM (${graft.operators.Multimodal.exifLeavesSql.replace("\n", "\n      ")})
+         |GROUP BY device, orientation""".stripMargin
   )
 }

@@ -140,12 +140,82 @@ object NativeText {
     sig
   }
 
+  /** First 15 hex nibbles of an md5 digest as a long (60 bits — always
+    * non-negative, never overflows). The portable mirror is
+    * `conv(substring(md5(x),1,15),16,10)::LONG` ([[Portable.hash60]]);
+    * both read the high 60 bits of the digest. */
+  def hash60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Minhash signature + sorted-distinct 60-bit gram hashes in ONE
+    * shingle pass: each shingle is md5'd exactly once — the first 4
+    * digest bytes feed the k universal hashes ([[hash32]] semantics,
+    * so the signature is identical to [[minhashSig]]), the first 60
+    * bits are the gram's set-identity hash ([[hash60]]). Compare with
+    * running `graft_minhash` + `graft_shingles` side by side: that
+    * shingles (and digests) the text twice and materializes the gram
+    * STRINGS into the row — this emits two long arrays. */
+  def sigHGrams(text: String, n: Int, k: Int): (Array[Long], Array[Long]) = {
+    val sh = shingles(text, n)
+    val ps = params(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val hg = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      val d = md5Hex(sh(i))
+      val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      hg(i) = hash60(d)
+      var j = 0
+      while (j < k) {
+        val v = java.lang.Math.floorMod(h32 * ps(j)(0) + ps(j)(1), MinhashP)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hg)
+    // in-place dedupe of the sorted gram hashes
+    var w = 0
+    i = 0
+    while (i < hg.length) {
+      if (w == 0 || hg(i) != hg(w - 1)) { hg(w) = hg(i); w += 1 }
+      i += 1
+    }
+    (mins, if (w == hg.length) hg else java.util.Arrays.copyOf(hg, w))
+  }
+
+  /** |A ∩ B| / |A ∪ B| over two SORTED-DISTINCT long arrays by merge
+    * scan — [[graft.operators.Dedup.jaccard]] semantics (union 0 →
+    * 1.0), without array_intersect's per-row hash-set build. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na.toDouble + nb.toDouble - inter
+    if (union == 0d) 1d else inter / union
+  }
+
   // UTF8String/ArrayData adapters called from generated code
   def shinglesArray(t: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingles(t.toString, n).map(UTF8String.fromString(_)).toArray[Any])
   def minhashArray(t: UTF8String, n: Int, k: Int): ArrayData =
     new GenericArrayData(minhashSig(t.toString, n, k))
   def simhash64(t: UTF8String): Long = simhash64(t.toString)
+  def sigHGramsRow(t: UTF8String, n: Int, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val (sig, hg) = sigHGrams(t.toString, n, k)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(sig), new GenericArrayData(hg)))
+  }
 }
 
 /** `graft_shingles(text, n)` — native array<string> shingles. */
@@ -180,6 +250,53 @@ case class MinhashExpr(child: Expression, n: Int, k: Int) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.minhashArray($c, $n, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinhashExpr =
     copy(child = newChild)
+}
+
+/** `graft_sig_hgrams(text, n, k)` — native
+  * struct<sig: array<bigint>, hgrams: array<bigint>>: the minhash
+  * signature plus the sorted-distinct 60-bit gram hashes, one md5 per
+  * shingle (see [[NativeText.sigHGrams]]). */
+case class SigHGramsExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n >= 1 && k >= 1, s"graft_sig_hgrams n=$n k=$k must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sig_hgrams needs a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("hgrams", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_sig_hgrams"
+  override def nullSafeEval(input: Any): Any =
+    NativeText.sigHGramsRow(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.sigHGramsRow($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): SigHGramsExpr =
+    copy(child = newChild)
+}
+
+/** `graft_jaccard_sorted(a, b)` — merge-scan Jaccard over two
+  * sorted-distinct array<bigint> columns ([[NativeText.jaccardSorted]];
+  * value-identical to [[graft.operators.Dedup.jaccard]]). */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard_sorted needs two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeText.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeText.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_simhash64(text)` — native 64-bit simhash. */

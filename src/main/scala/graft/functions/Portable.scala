@@ -46,6 +46,14 @@ object Portable {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 15 md5 nibbles as a long — 60 bits, always non-negative,
+    * never overflows the signed cast. The set-identity hash of the LSH
+    * index's stored gram sets ([[graft.operators.LshIndex]]); the
+    * native mirror is [[NativeText.hash60]] (high 60 bits of the same
+    * digest) — value-identity is spec-asserted. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** DuckDB SQL text computing the same value as [[hash32]] over `e`.
     * `e` must be free of single quotes (we only pass column refs). */
   def hash32Sql(e: String): String =

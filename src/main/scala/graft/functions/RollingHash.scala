@@ -102,6 +102,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RollingHash(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sig_hgrams"),
+      new ExpressionInfo(classOf[SigHGramsExpr].getName, "graft_sig_hgrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_sig_hgrams(text, n, k) takes three arguments")
+        SigHGramsExpr(children.head, intLit(children(1), "graft_sig_hgrams n"),
+          intLit(children(2), "graft_sig_hgrams k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaccard_sorted(a, b) takes two arguments")
+        JaccardSortedExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
       (children: Seq[Expression]) => {

@@ -248,6 +248,65 @@ object Multimodal {
         expr(s"CAST(least($patch, height - (i DIV nx) * $patch) AS INT)").as("patch_h"))
   }
 
+  /** EXIF-ish TYPED METADATA — the nested-struct surface a multimodal
+    * lake stores beside each opaque payload (the reference moves such
+    * per-record "column + meta" shapes as flat Record fields,
+    * `core/transport/record/DefaultRecord.java`; a Spark lake keeps
+    * them as one typed nested column). Values are the honest-stub
+    * convention of [[decodedMetadata]]: a real EXIF/container parser
+    * supplies them; the engine surface under test is the NESTED STRUCT
+    * ITSELF — that Parquet stores each leaf as its own column chunk, so
+    * a query touching `meta.capture.device` schema-prunes to that leaf
+    * (spec-asserted on ReadSchema) and never reads geo/timestamps.
+    * That pruning is what makes a wide metadata struct free at 100 TB.
+    *
+    * Shape: doc_id, meta: struct<
+    *   capture: struct<ts_ms bigint, device string, orientation int>,
+    *   geo:     struct<lat_e7 bigint, lon_e7 bigint>,
+    *   pixels:  struct<width int, height int>>   (images only) */
+  def exifMetadata(docs: DataFrame): DataFrame = {
+    val h = Portable.hash32(col("text"))
+    docs
+      .select(col("doc_id"), mediaTypeCol.as("media_type"), h.as("h"))
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), struct(
+        struct(
+          (lit(EpochMs) + col("h")).as("ts_ms"),
+          element_at(Devices, (pmod(col("h"), lit(5)) + 1).cast("int")).as("device"),
+          element_at(Orientations,
+            (pmod(expr("h DIV 5"), lit(4)) + 1).cast("int")).as("orientation")).as("capture"),
+        struct(
+          (pmod(col("h"), lit(1800000000L)) - 900000000L).as("lat_e7"),
+          (pmod(expr("h DIV 7"), lit(3600000000L)) - 1800000000L).as("lon_e7")).as("geo"),
+        struct(
+          (lit(1) + pmod(col("h"), lit(1920))).cast("int").as("width"),
+          (lit(1) + pmod(expr("h DIV 1920"), lit(1080))).cast("int").as("height")).as("pixels")
+      ).as("meta"))
+  }
+
+  /** 2020-01-01T00:00:00Z — base of the stub capture timestamps. */
+  val EpochMs = 1577836800000L
+  private def Devices = array(
+    lit("cam-a"), lit("cam-b"), lit("cam-c"), lit("phone-x"), lit("drone-z"))
+  /** The four upright/rotated EXIF orientation codes. */
+  private def Orientations = array(lit(1), lit(3), lit(6), lit(8))
+
+  /** DuckDB oracle fragment: the FLATTENED leaves of [[exifMetadata]]
+    * computed straight from `documents` (the oracle has no nested
+    * round-trip; queries over the struct compare on selected leaves). */
+  def exifLeavesSql: String = {
+    val h = Portable.hash32Sql("text")
+    s"""SELECT doc_id,
+       |  $EpochMs + $h AS ts_ms,
+       |  (['cam-a','cam-b','cam-c','phone-x','drone-z'])[($h % 5)::INT + 1] AS device,
+       |  ([1,3,6,8])[(($h // 5) % 4)::INT + 1] AS orientation,
+       |  $h % 1800000000 - 900000000 AS lat_e7,
+       |  ($h // 7) % 3600000000 - 1800000000 AS lon_e7,
+       |  (1 + $h % 1920)::INT AS width,
+       |  (1 + ($h // 1920) % 1080)::INT AS height
+       |FROM documents WHERE $MediaTypeSql = 'image'""".stripMargin
+  }
+
   /** DuckDB oracle for [[imagePatches]] over [[decodedMetadataSql]]. */
   def imagePatchesSql(patch: Int): String =
     s"""SELECT doc_id,

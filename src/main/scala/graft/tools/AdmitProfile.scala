@@ -82,7 +82,50 @@ object AdmitProfile {
         p.staged.df.count(); p
       }
       time("probe.pairs-collect")(probed.pairs.limit(8193).collect())
+      time("probe.pairs-collect-again")(probed.pairs.limit(8193).collect())
       probed.release()
+    }
+    // decompose the probe internals over the same staged frame
+    // (format v2: grams staged as sorted 60-bit hashes)
+    locally {
+      val st = time("d2.stage") {
+        val h = Mat.materializeIterReleasable(
+          d2.select(col("doc_id"),
+            call_function("graft_sig_hgrams", col("text"), lit(3), lit(16)).as("sg"))
+            .select(col("doc_id"), col("sg.sig").as("sig"), col("sg.hgrams").as("grams"))
+            .repartition(col("doc_id")))
+        h.df.count(); h
+      }
+      val m = LshIndex.Meta(3, 16, 4, 32, 64)
+      val probeBands = st.df.select(col("doc_id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band_idx"), xxhash64(slice(col("sig"), b * 4 + 1, 4)).as("band_key"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+      val occ = spark.read.parquet(s"$idx/occ")
+      time("occ.agg+filter")(occ.groupBy(col("band_idx"), col("band_key"))
+        .agg(sum(col("cnt")).as("n")).filter(col("n") > 1000).count())
+      val capped = probeBands // no over-cap keys in this synthetic corpus
+      val probeB = broadcast(capped.withColumn("kb", pmod(hash(col("band_key")), lit(32))))
+      val cand = probeB.as("a")
+        .join(spark.read.parquet(s"$idx/bands").as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.kb") === col("b.kb") &&
+            col("a.band_key") === col("b.band_key"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+      time("cand.join+distinct")(cand.distinct().count())
+      val candG = broadcast(cand.distinct()
+        .withColumn("gb", pmod(hash(col("dup_of")), lit(64))).as("c")
+        .join(st.df.as("ga"), col("c.doc_id") === col("ga.doc_id"))
+        .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
+          col("c.gb").as("gb"), col("ga.grams").as("grams_a")))
+      time("verify.join+jaccard")(candG.as("cg")
+        .join(spark.read.parquet(s"$idx/grams").as("gi"),
+          col("cg.gb") === col("gi.gb") && col("cg.dup_of") === col("gi.doc_id"))
+        .withColumn("j", round(call_function("graft_jaccard_sorted",
+          col("cg.grams_a"), col("gi.grams")), 6))
+        .filter(col("j") >= 0.8).count())
+      st.release()
+      val _ = m
     }
 
     val canonical2 = graft.apply.BatchApply.canonicalize(b2)

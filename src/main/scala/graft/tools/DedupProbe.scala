@@ -45,13 +45,17 @@ object DedupProbe {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
       (sec, m.dedupDroppedDocs.get)
     }
-    for (i <- 1 to 2) {
+    val offs = scala.collection.mutable.ArrayBuffer[Double]()
+    val ons = scala.collection.mutable.ArrayBuffer[Double]()
+    for (i <- 1 to 3) {
       val (offSec, _) = dedupReplay(s"off$i", None)
       val (onSec, dropped) = dedupReplay(s"on$i",
         Some(graft.model.DedupSpec(s"$work/dx-index-on$i", threshold = 0.8,
           n = 3, k = 16, bands = 4, maxBucketSize = 1000)))
+      offs += offSec; ons += onSec
       println(f"RESULT attempt=$i off=$offSec%.2f on=$onSec%.2f ratio=${onSec / offSec}%.2f dropped=$dropped")
     }
+    println(f"BEST off=${offs.min}%.2f on=${ons.min}%.2f ratio=${ons.min / offs.min}%.2f")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     sDx.stop()
   }

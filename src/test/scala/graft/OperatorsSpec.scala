@@ -22,6 +22,8 @@ class OperatorsSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val dataDir = "/root/testdata/sf0.001"
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
   private def docs: DataFrame = spark.read.parquet(s"$dataDir/documents.parquet")
   private def emb: DataFrame = spark.read.parquet(s"$dataDir/embeddings.parquet")
 
@@ -441,6 +443,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
   }
 
+  test("native sig_hgrams/jaccard_sorted are value-identical to the portable forms") {
+    import spark.implicits._
+    for (fn <- Seq("graft_sig_hgrams", "graft_jaccard_sorted"))
+      assert(spark.catalog.functionExists(fn), s"$fn not registered")
+    val edge = Seq("", "a", "one two", "one two three four five",
+      "\nleading newline doc", " \n mixed \t ", "dup dup dup dup dup")
+      .toDF("text")
+    for (df <- Seq(edge, docs.select(col("text")))) {
+      val rows = df.select(
+        call_function("graft_sig_hgrams", col("text"), lit(3), lit(12)).as("sg"),
+        call_function("graft_minhash", col("text"), lit(3), lit(12)).as("mh"),
+        array_sort(transform(
+          array_distinct(call_function("graft_shingles", col("text"), lit(3))),
+          g => Portable.hash60(g))).as("p_hg")).collect()
+      rows.foreach { r =>
+        val sg = r.getStruct(0)
+        assert(sg.getSeq[Long](0) == r.getSeq[Long](1), s"sig mismatch: $r")
+        assert(sg.getSeq[Long](1) == r.getSeq[Long](2), s"hgrams mismatch: $r")
+      }
+    }
+    // jaccard_sorted == generic set jaccard on sorted-distinct arrays,
+    // including the empty/empty -> 1.0 convention
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(5L), Seq.empty[Long]),
+      (Seq(1L, 7L, 9L, 11L), Seq(1L, 7L, 9L, 11L))).toDF("a", "b")
+    val jrows = pairs.select(
+      call_function("graft_jaccard_sorted", col("a"), col("b")).as("n"),
+      Dedup.jaccard(col("a"), col("b")).as("p")).collect()
+    jrows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"jaccard mismatch: $r"))
+  }
+
   test("minhash LSH pairs identical with native expressions on and off") {
     val native = Dedup.minhashLshPairs(docs, n = 3, k = 12, bands = 4, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -806,6 +841,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc.filter(col("first") =!= 0L || col("last") =!= col("duration_ms")).count() == 0)
     // coverage: the last window must start at or before duration-1
     assert(perDoc.filter(col("k").cast("long") * 25000L >= col("duration_ms")).count() == 0)
+  }
+
+  test("exif metadata: nested parquet round-trip schema-prunes to the selected leaves") {
+    val dir = tmpDir("graft-exif-spec")
+    Multimodal.exifMetadata(docs).write.mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .select(col("meta.capture.device").as("device"),
+        col("meta.pixels.width").as("width"))
+      .groupBy("device").agg(sum("width").as("sum_w"))
+    // nested-schema pruning: the scan's required schema carries ONLY the
+    // selected leaves — geo/ts_ms/orientation/height never leave parquet
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    val read = scan.substring(scan.indexOf("ReadSchema:"))
+    assert(read.contains("device") && read.contains("width"), read)
+    assert(!read.contains("geo") && !read.contains("ts_ms")
+      && !read.contains("orientation") && !read.contains("height"), read)
+    // values: device vocabulary closed, orientation ∈ {1,3,6,8}, geo in range
+    val full = spark.read.parquet(dir)
+    assert(full.filter(!col("meta.capture.orientation").isin(1, 3, 6, 8)).count() == 0)
+    assert(full.filter(col("meta.geo.lat_e7") < -900000000L
+      || col("meta.geo.lat_e7") >= 900000000L).count() == 0)
+    assert(full.filter(col("meta.capture.ts_ms") < Multimodal.EpochMs).count() == 0)
+    assert(pruned.count() > 0 && pruned.count() <= 5)
   }
 
   test("shuffle shards: disjoint+exhaustive, contiguous per-shard positions, reshard-stable") {

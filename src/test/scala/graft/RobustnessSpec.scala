@@ -107,10 +107,17 @@ class RobustnessSpec extends AnyFunSuite {
     assert(mism2.isEmpty, mism2.mkString("; "))
   }
 
-  test("compressed CSV reads (gzip + bzip2) match the uncompressed source") {
-    // UnstructuredStorageReaderUtil.java:117-160 compression support:
-    // Spark's CSV reader decodes by file extension — same aggregate must
-    // come back from every codec
+  test("compressed CSV reads (full codec family) match the uncompressed source") {
+    // UnstructuredStorageReaderUtil.java:117-160 decompresses zip, gzip,
+    // bzip2, lzo, lzo_deflate, hadoop-snappy and framing-snappy streams.
+    // Spark's CSV reader decodes by file extension through the Hadoop
+    // codec registry; this sandbox's jars cover gzip, bzip2, deflate,
+    // snappy (Hadoop block format — the reference's "hadoop-snappy"),
+    // lz4 and zstd. NOT covered and documented as such: zip (no Hadoop
+    // codec; the reference unpacks it in-process — a Spark user
+    // pre-extracts or uses binaryFile + an archive lib) and lzo/
+    // lzo_deflate (GPL codec, never bundled with Spark). Same aggregate
+    // must come back from every codec.
     val dir = tmpDir("graft-csv-codec")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select("event_id", "user_id", "event_type")
@@ -119,11 +126,12 @@ class RobustnessSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"), sum("user_id").as("su"), max("event_id").as("mx"))
         .orderBy("event_type").collect()
     val expected = agg(events)
-    for (codec <- Seq("gzip", "bzip2")) {
+    val exts = Map("gzip" -> ".gz", "bzip2" -> ".bz2", "deflate" -> ".deflate",
+      "snappy" -> ".snappy", "lz4" -> ".lz4", "zstd" -> ".zst")
+    for ((codec, ext) <- exts) {
       events.write.mode("overwrite").option("header", "true")
         .option("compression", codec).csv(s"$dir/$codec")
       val fs = new java.io.File(s"$dir/$codec").listFiles()
-      val ext = if (codec == "gzip") ".gz" else ".bz2"
       assert(fs.exists(_.getName.endsWith(s".csv$ext")), s"no $ext files written")
       val back = spark.read.option("header", "true")
         .schema("event_id LONG, user_id LONG, event_type STRING")
