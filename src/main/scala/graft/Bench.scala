@@ -306,8 +306,12 @@ object Bench {
       //    chunks by concat. This is the regime the salting machinery
       //    exists for.
       // Both paths warmed once, then best-of-3 (steal is one-sided).
+      // 4M events at full size: the non-algebraic collect's salted win
+      // needs the hot key's version list big enough that one reducer's
+      // sort+build dominates the extra exchange (measured crossover is
+      // between 1M and 4M at 80% hot share; below it task overhead wins)
       val skewCfg = GenConfig(
-        nEvents = math.min(benchEvents, 1000000L), nDocs = 250000L,
+        nEvents = math.min(benchEvents, 4000000L), nDocs = 250000L,
         nShards = 32, avgTokens = 32, nSegments = 1,
         hotPerMille = 800, nHotDocs = 1)
       val sSkew = session(32, "graft-bench-skew")
@@ -326,7 +330,10 @@ object Bench {
       def canonDf(salt: Int) = graft.apply.BatchApply.canonicalize(skewLog, salt)
       val skewCanonUnsalted = bestOf3(canonDf(1), Seq("doc_id", "lsn", "n_events", "min_lsn"))
       val skewCanonSalted = bestOf3(canonDf(8), Seq("doc_id", "lsn", "n_events", "min_lsn"))
-      def histDf(salt: Int) = graft.operators.ChangeHistory.historyCsv(
+      // the ARRAY form (the operator itself) — historyCsv's final render
+      // of the hot key's multi-million-element array is a single-task
+      // cost common to both plans that would dilute the ratio
+      def histDf(salt: Int) = graft.operators.ChangeHistory.history(
         skewLog, col("doc_id"), col("lsn"), col("op"), salt)
       val skewHistUnsalted = bestOf3(histDf(1), Seq("key", "n_changes", "history"))
       val skewHistSalted = bestOf3(histDf(32), Seq("key", "n_changes", "history"))
