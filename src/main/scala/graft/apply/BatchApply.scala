@@ -212,13 +212,21 @@ object BatchApply {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ---- per-shard stats (lineage offset ranges, watermark advance,
-      //      evolution detection) from the CANONICAL rows — the
+      //      evolution detection) AND per-bucket change counts in ONE
+      //      grouping-sets job over the CANONICAL rows — the
       //      canonicalize shuffle already aggregated per-key raw-event
-      //      stats, so the raw batch is scanned exactly once per batch
-      val stats = canonical.groupBy(col("shard")).agg(
-        min(col("min_lsn")).as("minLsn"), max(col("lsn")).as("maxLsn"),
-        sum(col("n_events")).as("rows"), max(col("has_lang")).as("hasLang")
-      ).collect()
+      //      stats, so the raw batch is scanned exactly once per batch,
+      //      and fusing the two tiny collects halves the serial
+      //      job-launch cost the driver pays every micro-batch (the
+      //      fixed per-batch overhead is what erodes N->4N scaling
+      //      efficiency: it is constant across parallelism levels)
+      val shardAndBucket = canonical.groupingSets(
+          Seq(Seq(col("shard")), Seq(col("bucket"))), col("shard"), col("bucket"))
+        .agg(min(col("min_lsn")).as("minLsn"), max(col("lsn")).as("maxLsn"),
+          sum(col("n_events")).as("rows"), max(col("has_lang")).as("hasLang"),
+          count(lit(1)).as("docs"))
+        .collect()
+      val stats = shardAndBucket.filter(r => !r.isNullAt(r.fieldIndex("shard")))
       if (stats.isEmpty) return snap
       val needsEvolve = stats.exists(_.getAs[Int]("hasLang") > 0) &&
         !snap.schema.fieldNames.contains("lang")
@@ -227,10 +235,11 @@ object BatchApply {
         batchId, r.getAs[Int]("shard"), r.getAs[Long]("minLsn"), r.getAs[Long]("maxLsn"), r.getAs[Long]("rows"))).toSeq
       val watermarks = stats.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("maxLsn")).toMap
 
-
-      // ---- manifest-level pruning + per-bucket change counts in one job
-      val changedPerBucket = canonical.groupBy(col("bucket")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // ---- manifest-level pruning + per-bucket change counts (the
+      //      grouping-set rows keyed by bucket)
+      val changedPerBucket = shardAndBucket
+        .filter(r => !r.isNullAt(r.fieldIndex("bucket")))
+        .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("docs")).toMap
       val touched = changedPerBucket.keySet
       if (touched.isEmpty) return snap
 
