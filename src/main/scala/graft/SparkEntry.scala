@@ -30,6 +30,9 @@ object SparkEntry {
   /** q62's lake-with-changelog fixture roots, keyed by source dir. */
   private val lakeFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q70's rebucketed-lake fixture roots, keyed by source dir. */
+  private val rebucketFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Flagship: the CDC engine end-to-end at test scale — generate a
     * deterministic change log to disk, STREAM-replay it (Structured
     * Streaming, multi-batch, checkpointed) into a LakeTable with
@@ -723,6 +726,45 @@ object SparkEntry {
           col("meta.pixels.width").as("width"))
         .groupBy(col("device"), col("orientation"))
         .agg(count(lit(1)).as("n"), sum(col("width")).as("sum_w"))
+    }),
+
+    // BUCKET-COUNT RESCALE: apply a change batch into an 8-bucket lake
+    // table, rebucket to 32 (a divisible rescale — the SHUFFLE-FREE
+    // per-file re-tag path, since pmod(h,8) == pmod(pmod(h,32),8)), and
+    // read the final state back. The oracle recomputes last-wins state
+    // from the raw events, so the driver row proves the rescale moved
+    // every row to a layout that still resolves identically. The
+    // no-Exchange property itself is spec-asserted (RobustnessSpec).
+    "q70_rebucket" -> ((s, dir) => {
+      val root = rebucketFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-rebucket-q").toString
+        val changes = t(s, dir, "events").select(
+          col("user_id").as("doc_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_id").as("lsn"),
+          array(pmod(col("event_id"), lit(1000)).cast("int")).as("tokens"),
+          (pmod(col("event_id"), lit(7)) + 1).cast("int").as("n_tok"),
+          col("event_type").as("source"),
+          lit(null).cast("string").as("lang"),
+          pmod(col("user_id"), lit(4)).cast("int").as("shard"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, containsNull = false)),
+          org.apache.spark.sql.types.StructField("n_tok",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType)))
+        val table = graft.lake.LakeTable.create(s, d, schema, nBuckets = 8)
+        graft.apply.BatchApply.apply(table, changes, batchId = 0)
+        table.rebucket(32)
+        d
+      })
+      graft.lake.LakeTable.load(s, root).read()
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"))
     })
   )
 
@@ -1158,6 +1200,22 @@ object SparkEntry {
     "q69_exif_prune" ->
       s"""SELECT device, orientation, count(*) AS n, sum(width)::BIGINT AS sum_w
          |FROM (${graft.operators.Multimodal.exifLeavesSql.replace("\n", "\n      ")})
-         |GROUP BY device, orientation""".stripMargin
+         |GROUP BY device, orientation""".stripMargin,
+
+    // q70: final last-wins state (delete-winners filtered, like read())
+    // of the whole event-derived change set — value-identical before and
+    // after the bucket-count rescale, which is exactly what the row checks
+    "q70_rebucket" ->
+      """WITH c AS (SELECT user_id AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::INT AS n_tok,
+        |        event_type AS source
+        |      FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, tokens_csv, n_tok, source FROM w WHERE rn = 1 AND op <> 'D'"""
+        .stripMargin
   )
 }

@@ -758,10 +758,26 @@ class LakeTable(val spark: SparkSession, val root: String) {
     require(newNBuckets >= 1, s"newNBuckets=$newNBuckets")
     val s = current
     if (newNBuckets == s.nBuckets) return s
+    // Divisible rescales are SHUFFLE-FREE: bucket = pmod(hash(doc_id), n),
+    // so when oldN | newN every new bucket refines exactly one old bucket
+    // (pmod(h, oldN) == pmod(pmod(h, newN), oldN)) — a scan task holding
+    // old-bucket rows already holds complete rows of the new buckets it
+    // will write; and when newN | oldN each old bucket coarsens wholly
+    // into one new bucket. Either way the rewrite is an embarrassingly
+    // parallel per-file re-tag (partitionBy splits locally), no Exchange.
+    // At 10^10-event scale this is the difference between "rescale = one
+    // pass over the table" and "rescale = shuffle the whole table": grow
+    // 2^6 -> 2^12 buckets without moving a row across tasks. Non-divisible
+    // targets (rare; suggestBuckets returns powers of two) fall back to a
+    // repartition so file count stays ~newN instead of oldN x newN.
+    val divisible = newNBuckets % s.nBuckets == 0 || s.nBuckets % newNBuckets == 0
     // delta chains fold for free: readResolved collapses to one row/key
+    // (a bucket with deltas resolves through its own hash exchange; its
+    // output partitioning is doc_id-hashed, which partitionBy still
+    // splits locally — correctness never depends on the layout)
     val rows = readResolved(None, Some(s))
       .withColumn("bucket", bucketExpr(col("doc_id"), newNBuckets))
-    val files = writeDataFiles(rows, s.schemaId)
+    val files = writeDataFiles(rows, s.schemaId, repartitionByBucket = !divisible)
     commit(files, s.files.map(_.bucket).toSet, s.batchId, Map.empty, Nil, s.version,
       newNBuckets = Some(newNBuckets))
   }

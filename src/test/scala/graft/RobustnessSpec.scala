@@ -107,6 +107,69 @@ class RobustnessSpec extends AnyFunSuite {
     assert(mism2.isEmpty, mism2.mkString("; "))
   }
 
+  test("divisible rebucket is shuffle-free; non-divisible falls back to a repartition") {
+    // bucket = pmod(hash(doc_id), n): when oldN | newN (or newN | oldN)
+    // the rescale is a pure refinement/coarsening — every scan task
+    // already holds complete rows of the new buckets it writes, so the
+    // rewrite must execute with ZERO shuffle-written records. At 10^10
+    // scale this is "rescale = one pass", not "shuffle the table".
+    val dir = tmpDir("graft-rebucket-sf")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 4)
+    val log = ChangeLogGen.events(spark, GenConfig(nEvents = 3000, nDocs = 600, nShards = 4))
+    BatchApply.apply(table, log, batchId = 0)
+    val before = table.read().orderBy("doc_id").collect()
+
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val lastEvent = new java.util.concurrent.atomic.AtomicLong(System.nanoTime)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        lastEvent.set(System.nanoTime)
+      }
+    }
+    // the listener bus is async: after the action returns, wait for the
+    // event stream to go quiet before reading the counter
+    def drainAndRead(): Long = {
+      val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime - lastEvent.get < 500L * 1000 * 1000 &&
+             System.nanoTime < deadline) Thread.sleep(50)
+      shuffleRecords.get
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the read-back checks below shuffle too (orderBy): always drain
+      // the bus and reset the counter BETWEEN a check and the next
+      // measured rebucket
+      def checkStateAndReset(): Unit = {
+        assert(table.read().orderBy("doc_id").collect().sameElements(before))
+        drainAndRead(); shuffleRecords.set(0)
+      }
+
+      // doubling (4 -> 16): refinement, no exchange anywhere in the job
+      table.rebucket(16)
+      val doubled = drainAndRead()
+      assert(doubled == 0L, s"divisible rebucket shuffled $doubled records")
+      checkStateAndReset()
+
+      // coarsening (16 -> 8): each old bucket maps wholly into one new
+      // bucket — still shuffle-free
+      table.rebucket(8)
+      val halved = drainAndRead()
+      assert(halved == 0L, s"coarsening rebucket shuffled $halved records")
+      checkStateAndReset()
+
+      // non-divisible control (8 -> 6): the fallback repartition keeps
+      // file count ~newN and MUST shuffle — proves the listener measures
+      table.rebucket(6)
+      val control = drainAndRead()
+      assert(control > 0L, "non-divisible rebucket should repartition")
+      assert(table.read().orderBy("doc_id").collect().sameElements(before))
+      assert(table.current.nBuckets == 6)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("compressed CSV reads (full codec family) match the uncompressed source") {
     // UnstructuredStorageReaderUtil.java:117-160 decompresses zip, gzip,
     // bzip2, lzo, lzo_deflate, hadoop-snappy and framing-snappy streams.
