@@ -765,6 +765,53 @@ object SparkEntry {
       graft.lake.LakeTable.load(s, root).read()
         .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
           col("n_tok"), col("source"))
+    }),
+
+    // POINT LOOKUP: fetch a deterministic key subset (user_id % 97 == 0)
+    // from the q70 lake fixture via readKeys — the manifest prunes the
+    // scan to the keys' buckets and the typed IN filter pushes into the
+    // parquet scan (row-group skipping inside each bucket). At 10^10
+    // rows this is "read k buckets", never "scan the table". The
+    // no-other-buckets property is spec-asserted on df.inputFiles
+    // (RobustnessSpec); this row proves the pruned read returns exactly
+    // the oracle's last-wins state for those keys.
+    "q71_point_lookup" -> ((s, dir) => {
+      val root = rebucketFixtures.getOrElseUpdate(dir, {
+        // same fixture as q70 (either query may run first)
+        val d = java.nio.file.Files.createTempDirectory("graft-rebucket-q").toString
+        val changes = t(s, dir, "events").select(
+          col("user_id").as("doc_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_id").as("lsn"),
+          array(pmod(col("event_id"), lit(1000)).cast("int")).as("tokens"),
+          (pmod(col("event_id"), lit(7)) + 1).cast("int").as("n_tok"),
+          col("event_type").as("source"),
+          lit(null).cast("string").as("lang"),
+          pmod(col("user_id"), lit(4)).cast("int").as("shard"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, containsNull = false)),
+          org.apache.spark.sql.types.StructField("n_tok",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType)))
+        val table = graft.lake.LakeTable.create(s, d, schema, nBuckets = 8)
+        graft.apply.BatchApply.apply(table, changes, batchId = 0)
+        table.rebucket(32)
+        d
+      })
+      // the lookup key set: bounded by construction (a point lookup's
+      // contract), derived from the source table so the oracle can
+      // mirror it as a plain predicate
+      val keys = t(s, dir, "events")
+        .select(col("user_id")).where(pmod(col("user_id"), lit(97)) === 0)
+        .distinct().collect().map(_.getLong(0)).toSeq
+      graft.lake.LakeTable.load(s, root).readKeys(keys)
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"))
     })
   )
 
@@ -1216,6 +1263,20 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, tokens_csv, n_tok, source FROM w WHERE rn = 1 AND op <> 'D'"""
-        .stripMargin
+        .stripMargin,
+
+    // q71: the same last-wins state restricted to the lookup key set
+    "q71_point_lookup" ->
+      """WITH c AS (SELECT user_id AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::INT AS n_tok,
+        |        event_type AS source
+        |      FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, tokens_csv, n_tok, source FROM w
+        |WHERE rn = 1 AND op <> 'D' AND doc_id % 97 = 0""".stripMargin
   )
 }

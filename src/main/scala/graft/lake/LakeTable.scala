@@ -457,6 +457,33 @@ class LakeTable(val spark: SparkSession, val root: String) {
 
   def read(): DataFrame = read(None)
 
+  /** POINT LOOKUP: the current state of the given keys, scanning ONLY
+    * the buckets those keys hash to. Bucket selection is manifest
+    * metadata (no file listing, no full scan) and the typed IN filter
+    * additionally pushes into the parquet scan for row-group skipping
+    * INSIDE each selected bucket — so fetching k keys from a 10^10-row
+    * table reads at most k buckets' files, not the table. Keys are
+    * rendered through one LocalRelation-backed job (bounded by |keys|,
+    * touches no files) so the literals take the table's exact key type —
+    * the same `bucketExpr` hash the writer used; a mistyped literal
+    * would hash to the wrong bucket and silently miss, so the cast is
+    * the correctness step, not a convenience. */
+  def readKeys(keys: Seq[Any], snapshot: Option[Snapshot] = None): DataFrame = {
+    val s = snapshot.getOrElse(current)
+    if (keys.isEmpty) return read(Some(s)).limit(0)
+    val keyType = s.physicalSchema(s.schemaId)("doc_id").dataType
+    import spark.implicits._
+    val info = keys.map(String.valueOf).toDF("k")
+      .select(col("k").cast(keyType).as("doc_id"))
+      .select(col("doc_id"), bucketExpr(col("doc_id"), s.nBuckets).as("b"))
+      .collect()
+    val buckets = info.map(_.getInt(1)).toSet
+    val typed = info.map(_.get(0)).toIndexedSeq
+    readResolved(Some(buckets), Some(s))
+      .filter(col("doc_id").isInCollection(typed))
+      .filter(!col(DeletedCol)).drop(LsnCol, DeletedCol)
+  }
+
   /** INCREMENTAL CHANGE READ — the table as a CDC *source* (the Delta
     * CDF / Iceberg incremental-scan analog, and the composability story
     * of the reference's `otsstreamreader`: a downstream job can tail
