@@ -337,6 +337,14 @@ object Bench {
         skewLog, col("doc_id"), col("lsn"), col("op"), salt)
       val skewHistUnsalted = bestOf3(histDf(1), Seq("key", "n_changes", "history"))
       val skewHistSalted = bestOf3(histDf(32), Seq("key", "n_changes", "history"))
+      // the CHUNKED packaging (historyChunks): phase 1 only, chunks as
+      // rows — the form with no single-task hot-key stage at all. This
+      // is the honest scale answer; the merged salted form above is
+      // kept to show it does NOT win (sort saved, second shuffle paid).
+      val skewHistChunked = bestOf3(
+        graft.operators.ChangeHistory.historyChunks(
+          skewLog, col("doc_id"), col("lsn"), col("op"), 32),
+        Seq("key", "chunk_idx", "n_in_chunk", "chunk"))
       skewLog.unpersist()
 
       // dedup-admission probe: the SAME multi-batch replay with and
@@ -355,15 +363,23 @@ object Bench {
       val dxFiles = new java.io.File(s"$work/dxlog").listFiles()
         .count(_.getName.endsWith(".parquet"))
       val dxPerTrigger = math.max(1, (dxFiles + 3) / 4) // ~4 micro-batches
+      // each overhead rung is best-of-2 (same one-sided-steal policy as
+      // the ladder's best-of-N): the reported on/off RATIOS would
+      // otherwise be single-sample noise under a burst
       def dedupReplay(tag: String, dedup: Option[graft.model.DedupSpec]): (Double, Long) = {
-        val m = new graft.stream.ReplayMetrics
-        val sec = time(Replay.replay(sDx, s"$work/dxlog",
-          s"$work/dx-table-$tag", s"$work/dx-cp-$tag",
-          nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
-          dedup = dedup, metrics = Some(m)))
-        Seq(s"$work/dx-table-$tag", s"$work/dx-cp-$tag", s"$work/dx-index-$tag").foreach(p =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-        (sec, m.dedupDroppedDocs.get)
+        var dropped = 0L
+        val sec = (1 to 2).map { _ =>
+          val m = new graft.stream.ReplayMetrics
+          val s = time(Replay.replay(sDx, s"$work/dxlog",
+            s"$work/dx-table-$tag", s"$work/dx-cp-$tag",
+            nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
+            dedup = dedup, metrics = Some(m)))
+          Seq(s"$work/dx-table-$tag", s"$work/dx-cp-$tag", s"$work/dx-index-$tag").foreach(p =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+          dropped = m.dedupDroppedDocs.get
+          s
+        }.min
+        (sec, dropped)
       }
       val (dedupOffSec, _) = dedupReplay("off", None)
       val (dedupOnSec, dedupDropped) = dedupReplay("on",
@@ -378,15 +394,16 @@ object Bench {
       // so the overhead reads as per-insert-doc, not per-event.
       val updCfg = dxCfg.copy(pctInsert = 10, pctUpdate = 80)
       ChangeLogGen.write(sDx, updCfg, s"$work/dxlog-upd")
-      def updReplay(tag: String, dedup: Option[graft.model.DedupSpec]): Double = {
-        val sec = time(Replay.replay(sDx, s"$work/dxlog-upd",
-          s"$work/dxu-table-$tag", s"$work/dxu-cp-$tag",
-          nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
-          dedup = dedup))
-        Seq(s"$work/dxu-table-$tag", s"$work/dxu-cp-$tag", s"$work/dxu-index-$tag").foreach(p =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-        sec
-      }
+      def updReplay(tag: String, dedup: Option[graft.model.DedupSpec]): Double =
+        (1 to 2).map { _ =>
+          val sec = time(Replay.replay(sDx, s"$work/dxlog-upd",
+            s"$work/dxu-table-$tag", s"$work/dxu-cp-$tag",
+            nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
+            dedup = dedup))
+          Seq(s"$work/dxu-table-$tag", s"$work/dxu-cp-$tag", s"$work/dxu-index-$tag").foreach(p =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+          sec
+        }.min
       val dedupUpdOffSec = updReplay("off", None)
       val dedupUpdOnSec = updReplay("on",
         Some(graft.model.DedupSpec(s"$work/dxu-index-on", threshold = 0.8,
@@ -397,14 +414,14 @@ object Bench {
       // the per-batch cost of the extra O(batch) canonical-rows parquet
       // write (dedup_off_sec is the exact no-feed baseline: same log,
       // same trigger, same session)
-      val changelogOnSec = {
+      val changelogOnSec = (1 to 2).map { _ =>
         val sec = time(Replay.replay(sDx, s"$work/dxlog",
           s"$work/cl-table", s"$work/cl-cp",
           nBuckets = 64, maxFilesPerTrigger = dxPerTrigger, changelog = true))
         Seq(s"$work/cl-table", s"$work/cl-cp").foreach(p =>
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
         sec
-      }
+      }.min
 
       def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
       cdcJson =
@@ -421,6 +438,7 @@ object Bench {
         s""""skew_events":${skewCfg.nEvents},"skew_hot_per_mille":${skewCfg.hotPerMille},""" +
         s""""skew_canon_unsalted_sec":${fmt(skewCanonUnsalted)},"skew_canon_salted_sec":${fmt(skewCanonSalted)},""" +
         s""""skew_hist_unsalted_sec":${fmt(skewHistUnsalted)},"skew_hist_salted_sec":${fmt(skewHistSalted)},""" +
+        s""""skew_hist_chunked_sec":${fmt(skewHistChunked)},""" +
         s""""dedup_events":$dedupEvents,"dedup_off_sec":${fmt(dedupOffSec)},""" +
         s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
         s""""dedup_upd_off_sec":${fmt(dedupUpdOffSec)},"dedup_upd_on_sec":${fmt(dedupUpdOnSec)},""" +

@@ -812,7 +812,23 @@ object SparkEntry {
       graft.lake.LakeTable.load(s, root).readKeys(keys)
         .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
           col("n_tok"), col("source"))
-    })
+    }),
+
+    // CHUNKED change history: q68's merged render holds each key's full
+    // version list in one task (fine for normal keys; the bench's
+    // skew_hist rungs show the salted MERGED form does not beat it —
+    // sort saved, second shuffle paid). historyChunks is the 10^10-scale
+    // packaging: per-salt contiguous sorted chunks as ROWS, one exchange,
+    // per-task state bounded by hotKeySize/saltBuckets. The oracle
+    // recomputes the integer-exact chunk assignment with DuckDB `//`.
+    "q72_history_chunks" -> ((s, dir) =>
+      graft.operators.ChangeHistory.historyChunks(
+        t(s, dir, "events"), col("user_id"), col("event_id"), col("event_type"),
+        saltBuckets = 8)
+        .select(col("key").as("user_id"), col("chunk_idx"),
+          col("n_in_chunk"),
+          concat_ws(",", transform(col("chunk"),
+            x => concat(x.getField("seq"), lit(":"), x.getField("p")))).as("chunk_csv")))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1277,6 +1293,20 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, tokens_csv, n_tok, source FROM w
-        |WHERE rn = 1 AND op <> 'D' AND doc_id % 97 = 0""".stripMargin
+        |WHERE rn = 1 AND op <> 'D' AND doc_id % 97 = 0""".stripMargin,
+
+    // q72: chunk assignment mirrored integer-exactly (DuckDB `//` ==
+    // Spark floor() over an exact double product)
+    "q72_history_chunks" ->
+      """WITH b AS (SELECT min(event_id) AS lo,
+        |             greatest(1, max(event_id) - min(event_id) + 1) AS span
+        |           FROM events),
+        |c AS (SELECT user_id, event_id, event_type,
+        |        ((event_id - b.lo) * 8 // b.span)::INT AS chunk_idx
+        |      FROM events, b)
+        |SELECT user_id, chunk_idx, count(*)::BIGINT AS n_in_chunk,
+        |       string_agg(event_id || ':' || event_type, ','
+        |                  ORDER BY event_id, event_type) AS chunk_csv
+        |FROM c GROUP BY user_id, chunk_idx""".stripMargin
   )
 }

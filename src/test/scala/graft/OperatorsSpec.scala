@@ -905,5 +905,21 @@ class OperatorsSpec extends AnyFunSuite {
       exists(zip_with(col("history"), slice(col("history"), 2, 1000000),
         (a, b) => a.getField("seq") > b.getField("seq")), x => x)).count()
     assert(notSorted == 0)
+
+    // CHUNKED packaging: concatenating a key's chunks in chunk_idx
+    // order must reproduce the merged history exactly — the contract
+    // that lets a consumer read the scalable form as if it were merged
+    val fromChunks = ChangeHistory.historyChunks(ev, col("k"), col("seq"), col("payload"), 8)
+      .groupBy(col("key"))
+      .agg(flatten(transform(sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        x => x.getField("chunk"))).as("history"))
+      .select(col("key"), size(col("history")).cast("long").as("n_changes"), col("history"))
+    val merged = h.select(col("key"), col("n_changes").cast("long").as("n_changes"), col("history"))
+    assert(merged.exceptAll(fromChunks).isEmpty && fromChunks.exceptAll(merged).isEmpty,
+      "chunked history does not reassemble into the merged history")
+    // chunk granularity: the hot key's versions really spread over >1 chunk
+    val hotChunks = ChangeHistory.historyChunks(ev, col("k"), col("seq"), col("payload"), 8)
+      .filter(col("key") === "hot").count()
+    assert(hotChunks > 1, s"hot key landed in $hotChunks chunk(s)")
   }
 }
