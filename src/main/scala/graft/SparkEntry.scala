@@ -828,7 +828,32 @@ object SparkEntry {
         .select(col("key").as("user_id"), col("chunk_idx"),
           col("n_in_chunk"),
           concat_ws(",", transform(col("chunk"),
-            x => concat(x.getField("seq"), lit(":"), x.getField("p")))).as("chunk_csv")))
+            x => concat(x.getField("seq"), lit(":"), x.getField("p")))).as("chunk_csv"))),
+
+    // Product quantization: the memory story of 10^10-vector ANN —
+    // each 64-dim float vector encodes to m=8 subspace-centroid ids
+    // (+ its norm), value-exact vs the oracle's argmin recomputation
+    "q73_pq_encode" -> ((s, dir) =>
+      graft.operators.Similarity.pqEncode(
+        t(s, dir, "embeddings"), m = 16, ksub = 16, dim = 64)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes_csv"),
+          (floor(col("nrm") * lit(1e9) + lit(0.5)) / lit(1e9)).as("nrm_r"))),
+
+    // measured recall@5 of the RAW PQ/ADC ranking vs the exact float
+    // baseline — the honest lower bound that motivates q75's rerank
+    // (as q33 gates LSH and q55 gates int8)
+    "q74_pq_recall" -> ((s, dir) =>
+      graft.operators.Similarity.pqRecallAtK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
+        m = 16, ksub = 16, dim = 64)),
+
+    // the production PQ shape: ADC ranks a 50-deep shortlist over the
+    // 16-byte codes, exact cosine re-ranks only those 50 floats/anchor
+    "q75_pq_rerank_recall" -> ((s, dir) =>
+      graft.operators.Similarity.pqRerankRecallAtK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
+        shortlist = 50, m = 16, ksub = 16, dim = 64))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1307,6 +1332,16 @@ object SparkEntry {
         |SELECT user_id, chunk_idx, count(*)::BIGINT AS n_in_chunk,
         |       string_agg(event_id || ':' || event_type, ','
         |                  ORDER BY event_id, event_type) AS chunk_csv
-        |FROM c GROUP BY user_id, chunk_idx""".stripMargin
+        |FROM c GROUP BY user_id, chunk_idx""".stripMargin,
+
+    "q73_pq_encode" ->
+      graft.operators.Similarity.pqEncodeSql("embeddings", m = 16, ksub = 16, dim = 64),
+
+    "q74_pq_recall" ->
+      graft.operators.Similarity.pqRecallSql("vec_id % 100 = 0", k = 5, m = 16, ksub = 16, dim = 64),
+
+    "q75_pq_rerank_recall" ->
+      graft.operators.Similarity.pqRerankRecallSql("vec_id % 100 = 0", k = 5,
+        shortlist = 50, m = 16, ksub = 16, dim = 64)
   )
 }

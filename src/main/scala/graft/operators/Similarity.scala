@@ -557,6 +557,327 @@ object Similarity {
         round(avg(col("hits").cast("double") / k), 6).as("avg_recall"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Deterministic ternary PQ codebooks: `m` subspaces × `ksub`
+    * centroids × `dsub` components in {-1, 0, 1} (md5("pq<s>_<j>_<d>")
+    * mod 3 — a salt family independent of the LSH planes and IVF
+    * directions). Like [[centroidWeights]], these are PLAN-TIME
+    * literals embedded identically on the Spark and DuckDB sides, which
+    * is what keeps the encode value-checkable; a production deployment
+    * would train each subspace's codebook with k-means over a sample
+    * (same discipline as [[kmeansCentroids]] for IVF) and ship the
+    * learned array here — every plan below takes the codebook as data. */
+  def pqCodebooks(m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    // entries scaled to 1/8 — the component magnitude of a unit-norm
+    // 64-dim vector (1/sqrt(64)); ±1 entries would dwarf the data and
+    // collapse every assignment onto the low-norm centroids. 2^-3 is
+    // exact in binary AND decimal, so the oracle literal is exact too.
+    Array.tabulate(m, ksub, dsub) { (s, j, d) =>
+      val hex = mdt.digest(s"pq${s}_${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.substring(0, 2), 16) % 3 - 1).toDouble * 0.125
+    }
+  }
+
+  /** (‖c_j‖²/2 − <x, c_j>, j) structs for one subspace — ascending sort
+    * = L2 distance ascending (argmin L2² == argmax(<x,c> − ‖c‖²/2); the
+    * ‖x‖² term is constant per vector) with first-centroid tiebreak,
+    * the same convention as [[assignCell]]. */
+  private def pqNegScoreStructs(sub: Column, book: Array[Array[Double]]): Column =
+    array(book.indices.map { j =>
+      val half = book(j).map(x => x * x).sum / 2
+      struct((lit(half) - dotLit(sub, book(j))).as("ns"), lit(j).as("cid"))
+    }: _*)
+
+  /** Product-quantize a float-embedding corpus: split each `dim`-vector
+    * into `m` contiguous subvectors of dim/m, encode each as the id of
+    * its L2-nearest subspace centroid. Output (vec_id, nrm, codes:
+    * array<int> of length m) — `m·log2(ksub)` bits of code plus one
+    * float norm per vector.
+    *
+    * THIS is what makes 10^10-vector ANN memory-feasible: at m=8,
+    * ksub=256 a 64-dim float32 corpus drops 256 B → 8 B + norm
+    * (~21×), so 10^10 vectors fit in ~120 GB of executor memory
+    * cluster-wide instead of 2.6 TB — the codes table broadcasts/
+    * co-partitions where the float table cannot. Encode is ONE
+    * codegen-staged projection over the scan (zero shuffles); work
+    * per vector = m·ksub·dsub = dim·ksub multiply-adds. */
+  def pqEncode(emb: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame =
+    pqEncodeWith(emb, pqCodebooks(m, ksub, dim / m), dim)
+
+  /** [[pqEncode]] with EXPLICIT codebooks — the production entry point
+    * once [[pqTrainCodebooks]] has learned them. */
+  def pqEncodeWith(emb: DataFrame, books: Array[Array[Array[Double]]],
+      dim: Int): DataFrame = {
+    val m = books.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val codes = array((0 until m).map { s =>
+      element_at(array_sort(
+        pqNegScoreStructs(slice(col("emb"), s * dsub + 1, dsub), books(s))), 1)
+        .getField("cid")
+    }: _*)
+    withNorm(emb).select(col("vec_id"), col("nrm"), codes.as("codes"))
+  }
+
+  /** L2 k-means PER SUBSPACE over (a sample of) the corpus — the
+    * learned codebooks a production PQ deployment ships ([[pqEncode]]'s
+    * fixed ternary books exist to keep the oracle value-checkable).
+    * One aggregation per Lloyd round covers ALL m subspaces at once
+    * (rows = n·m subvectors keyed by (subspace, cell)); the collected
+    * state is ≤ m·ksub·dsub rows per round. Deterministic exactly as
+    * [[kmeansCentroids]]: seeded sample, per-dimension sums accumulate
+    * as scaled longs (merge-order-independent), seeded from the fixed
+    * ternary books — so Lloyd monotonicity guarantees the learned books
+    * never have HIGHER training distortion than the fixed ones (the
+    * spec asserts this). Subspace k-means is plain L2 (no
+    * normalization — PQ quantizes subvectors, not directions). */
+  def pqTrainCodebooks(emb: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int = 5, sampleFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val Scale = 1L << 20
+    val vecs0 = emb.select(col("embedding").cast("array<double>").as("emb"))
+    val sampled = if (sampleFraction >= 1.0) vecs0
+      else vecs0.sample(withReplacement = false, sampleFraction, seed = 7L)
+    val subs = Mat.materialize(sampled.select(posexplode(
+      array((0 until m).map(s => slice(col("emb"), s * dsub + 1, dsub)): _*))
+      .as(Seq("s", "sub"))))
+    var books = pqCodebooks(m, ksub, dsub)
+    try {
+      var it = 0
+      while (it < iters) {
+        it += 1
+        // per-subspace assignment as a when-chain over s: each branch's
+        // argmin expression appears ONCE (no accumulator re-reference,
+        // so the tree stays linear in m·ksub)
+        def assignExpr(s: Int): Column =
+          element_at(array_sort(pqNegScoreStructs(col("sub"), books(s))), 1)
+            .getField("cid")
+        val cell = (1 until m).foldLeft(when(col("s") === 0, assignExpr(0))) {
+          (acc, s) => acc.when(col("s") === s, assignExpr(s))
+        }
+        // two selects: a generator in the same projection as the
+        // struct-field extraction degrades the argmin struct's field
+        // names (same pitfall as kmeansLoop's assignment step)
+        val rows = subs.select(col("s"), cell.as("cell"), col("sub"))
+          .select(col("s"), col("cell"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy(col("s"), col("cell"), col("pos"))
+          .agg(sum(floor(col("x") * Scale).cast("long")).as("sm"), count(lit(1)).as("n"))
+          .collect() // <= m*ksub*dsub rows
+        val sums = Array.fill(m, ksub, dsub)(0.0)
+        val counts = Array.fill(m, ksub)(0L)
+        rows.foreach { r =>
+          val s = r.getInt(0); val c = r.getInt(1); val p = r.getInt(2)
+          sums(s)(c)(p) = r.getLong(3).toDouble / Scale
+          counts(s)(c) = r.getLong(4)
+        }
+        books = Array.tabulate(m, ksub) { (s, c) =>
+          if (counts(s)(c) == 0) books(s)(c) // empty cell keeps its centroid
+          else sums(s)(c).map(_ / counts(s)(c))
+        }
+      }
+      books
+    } finally subs.unpersist()
+  }
+
+  /** DuckDB oracle for [[pqEncode]] over table `tbl` (vec_id,
+    * embedding FLOAT[]): codes rendered as CSV, norm fixed-point-rounded
+    * (`floor(x·1e9+0.5)` — IEEE-portable). */
+  def pqEncodeSql(tbl: String, m: Int, ksub: Int, dim: Int): String = {
+    val dsub = dim / m
+    val books = pqCodebooks(m, ksub, dsub)
+    def scoreList(s: Int): String = books(s).map { c =>
+      val half = c.map(x => x * x).sum / 2
+      val lits = c.map(_.toString).mkString("[", ",", "]")
+      s"($half::DOUBLE - list_sum(list_transform(range(1, ${dsub + 1}), i -> emb[${s * dsub} + i] * ($lits::DOUBLE[])[i])))"
+    }.mkString("[", ", ", "]")
+    val lsCols = (0 until m).map(s => s"${scoreList(s)} AS ls$s").mkString(",\n  ")
+    val codeExprs = (0 until m)
+      .map(s => s"CAST(list_position(ls$s, list_min(ls$s)) - 1 AS VARCHAR)")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM $tbl),
+       |ls AS (SELECT vec_id, emb,
+       |  $lsCols
+       |  FROM e)
+       |SELECT vec_id,
+       |  array_to_string($codeExprs, ',') AS codes_csv,
+       |  floor(sqrt(list_sum(list_transform(emb, x -> x * x))) * 1e9 + 0.5) / 1e9 AS nrm_r
+       |FROM ls""".stripMargin
+  }
+
+  /** Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over the PQ
+    * codes: anchors stay full-precision and precompute a lookup table
+    * `lut[s·ksub + j] = <anchor_sub_s, c_{s,j}>` (m·ksub dots per
+    * anchor, m·ksub·dsub = dim·ksub flops); every corpus vector is then
+    * scored with just m array lookups + adds over its codes — the scan
+    * reads m smallint codes + one norm per vector instead of dim
+    * floats. Cosine uses the stored true norm (the standard
+    * codes+norm layout). Plan: codes projection (zero shuffles) joined
+    * to broadcast anchors-with-lut, then the same k-bounded
+    * [[partialTopK]] as every other ANN path. Recall is bounded by
+    * codebook fidelity — measure it with [[pqRecallAtK]] before
+    * shipping, exactly as [[recallAtK]] gates the LSH path. */
+  def pqTopK(emb: DataFrame, anchorPred: Column, k: Int, m: Int, ksub: Int,
+      dim: Int): DataFrame =
+    pqTopKWith(emb, anchorPred, k, pqCodebooks(m, ksub, dim / m), dim)
+
+  /** [[pqTopK]] with EXPLICIT (typically learned) codebooks. */
+  def pqTopKWith(emb: DataFrame, anchorPred: Column, k: Int,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val m = books.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val ksub = books(0).length
+    val dsub = dim / m
+    val codes = pqEncodeWith(emb, books, dim)
+    val lut = array((for (s <- 0 until m; j <- 0 until ksub)
+      yield dotLit(slice(col("emb"), s * dsub + 1, dsub), books(s)(j))): _*)
+    val anchors = withNorm(emb).filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), lut.as("lut"), col("nrm").as("anrm"))
+    // left-assoc sum of the m LUT lookups — the oracle mirrors the same
+    // association (sd0 + sd1 + ...), keeping the doubles bit-identical
+    val adc = (0 until m).map { s =>
+      element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(anchors), col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+        round(adc / (col("anrm") * col("nrm")), 6).as("sim"))
+    partialTopK(scored, k)
+  }
+
+  /** Measured recall@k of the PQ/ADC path against the exact float
+    * baseline — the fidelity number that decides m/ksub (compression
+    * vs recall), as [[quantRecallAtK]] does for int8. */
+  def pqRecallAtK(emb: DataFrame, anchorPred: Column, k: Int, m: Int,
+      ksub: Int, dim: Int): DataFrame =
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      pqTopK(emb, anchorPred, k, m, ksub, dim), k)
+
+  /** Measured recall@k of the ADC path under EXPLICIT (learned)
+    * codebooks vs the exact float baseline. */
+  def pqRecallAtKWith(emb: DataFrame, anchorPred: Column, k: Int,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame =
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      pqTopKWith(emb, anchorPred, k, books, dim), k)
+
+  /** PQ the way production ANN actually ships it: the ADC scan RANKS A
+    * SHORTLIST (top-`shortlist` per anchor over the 16-byte codes), and
+    * only the shortlist's float vectors are touched for an exact cosine
+    * re-rank to top-k. Per anchor the float corpus is read
+    * `shortlist/n` as often as brute force — at 10^10 vectors the codes
+    * fit in cluster memory and the floats are only fetched for the
+    * ~50-candidate rerank join (an equi-join on neighbor_id, never a
+    * second corpus scan). Recall is measured by [[pqRerankRecallAtK]];
+    * the rerank recovers most of what raw ADC ordering loses (q74 vs
+    * q75 quantify exactly that gap). */
+  def pqRerankTopK(emb: DataFrame, anchorPred: Column, k: Int, shortlist: Int,
+      m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist < k=$k")
+    val cand = pqTopK(emb, anchorPred, shortlist, m, ksub, dim)
+      .select(col("anchor_id"), col("neighbor_id"))
+    val base = withNorm(emb)
+    val anchors = base.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
+    val scored = cand.join(base, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(anchors), Seq("anchor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
+        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
+    partialTopK(scored, k)
+  }
+
+  /** Measured recall@k of ADC-shortlist + exact-rerank vs the float
+    * baseline — the number that sizes `shortlist` (recall vs float
+    * fetches per anchor). */
+  def pqRerankRecallAtK(emb: DataFrame, anchorPred: Column, k: Int,
+      shortlist: Int, m: Int, ksub: Int, dim: Int): DataFrame =
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      pqRerankTopK(emb, anchorPred, k, shortlist, m, ksub, dim), k)
+
+  /** DuckDB oracle for [[pqRecallAtK]] over `embeddings` with anchors
+    * `anchorWhere`: exact ranking (same CTEs as the q55 oracle) vs the
+    * ADC ranking recomputed from the encode CTEs. The per-pair ADC sim
+    * mirrors the Spark association exactly: per-subspace sub-dots
+    * (code selected by CASE) summed left-to-right, divided by the two
+    * norms, rounded to 6 dp. */
+  def pqRecallSql(anchorWhere: String, k: Int, m: Int, ksub: Int, dim: Int): String =
+    s"""WITH ${pqRecallCtes(anchorWhere, k, m, ksub, dim)},
+       |ap AS (SELECT anchor_id, neighbor_id FROM rq WHERE rank <= $k),
+       |${pqHitsSql(k)}""".stripMargin
+
+  /** DuckDB oracle for [[pqRerankRecallAtK]]: the ADC CTEs rank a
+    * `shortlist`-deep candidate set, exact cosine re-ranks it to k. */
+  def pqRerankRecallSql(anchorWhere: String, k: Int, shortlist: Int,
+      m: Int, ksub: Int, dim: Int): String =
+    s"""WITH ${pqRecallCtes(anchorWhere, k, m, ksub, dim)},
+       |cand AS (SELECT anchor_id, neighbor_id FROM rq WHERE rank <= $shortlist),
+       |sr AS (SELECT c.anchor_id, c.neighbor_id, ${simSql("a.aemb", "e.emb")} AS sim
+       |  FROM cand c JOIN e0 e ON e.vec_id = c.neighbor_id
+       |  JOIN ax a ON a.anchor_id = c.anchor_id),
+       |rr AS (SELECT anchor_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sr),
+       |ap AS (SELECT anchor_id, neighbor_id FROM rr WHERE rank <= $k),
+       |${pqHitsSql(k)}""".stripMargin
+
+  /** Shared CTE chain: exact ranking `ex` (same shape as the q55
+    * oracle) + ADC ranking `rq` recomputed from the encode CTEs. The
+    * per-pair ADC sim mirrors the Spark association exactly:
+    * per-subspace sub-dots (code selected by CASE) summed
+    * left-to-right, divided by the two norms, rounded to 6 dp. */
+  private def pqRecallCtes(anchorWhere: String, k: Int, m: Int, ksub: Int, dim: Int): String = {
+    val dsub = dim / m
+    val books = pqCodebooks(m, ksub, dsub)
+    def scoreList(s: Int): String = books(s).map { c =>
+      val half = c.map(x => x * x).sum / 2
+      val lits = c.map(_.toString).mkString("[", ",", "]")
+      s"($half::DOUBLE - list_sum(list_transform(range(1, ${dsub + 1}), i -> emb[${s * dsub} + i] * ($lits::DOUBLE[])[i])))"
+    }.mkString("[", ", ", "]")
+    val lsCols = (0 until m).map(s => s"${scoreList(s)} AS ls$s").mkString(",\n  ")
+    val codeCols = (0 until m)
+      .map(s => s"list_position(ls$s, list_min(ls$s)) - 1 AS code$s").mkString(", ")
+    def subDot(s: Int): String = {
+      val cases = (0 until ksub).map { j =>
+        val lits = books(s)(j).map(_.toString).mkString("[", ",", "]")
+        s"WHEN $j THEN list_sum(list_transform(range(1, ${dsub + 1}), i -> a.aemb[${s * dsub} + i] * ($lits::DOUBLE[])[i]))"
+      }.mkString(" ")
+      s"(CASE c.code$s $cases END)"
+    }
+    val adc = (0 until m).map(subDot).mkString(" + ")
+    val simF = simSql("a.aemb", "e.emb")
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |ax AS (SELECT vec_id AS anchor_id, emb AS aemb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS anrm
+       |  FROM e0 WHERE $anchorWhere),
+       |sx AS (SELECT a.anchor_id, e.vec_id AS neighbor_id, $simF AS sim
+       |  FROM ax a JOIN e0 e ON e.vec_id <> a.anchor_id),
+       |rx AS (SELECT anchor_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sx),
+       |ex AS (SELECT anchor_id, neighbor_id FROM rx WHERE rank <= $k),
+       |ls AS (SELECT vec_id, emb,
+       |  $lsCols
+       |  FROM e0),
+       |cd AS (SELECT vec_id,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+       |    $codeCols
+       |  FROM ls),
+       |sq AS (SELECT a.anchor_id, c.vec_id AS neighbor_id,
+       |    round(($adc) / (a.anrm * c.nrm), 6) AS sim
+       |  FROM cd c JOIN ax a ON c.vec_id <> a.anchor_id),
+       |rq AS (SELECT anchor_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sq)""".stripMargin
+  }
+
+  private def pqHitsSql(k: Int): String =
+    s"""hits AS (SELECT ex.anchor_id, count(ap.neighbor_id) AS hits
+       |  FROM ex LEFT JOIN ap ON ex.anchor_id = ap.anchor_id AND ex.neighbor_id = ap.neighbor_id
+       |  GROUP BY ex.anchor_id)
+       |SELECT count(*)::BIGINT AS n_anchors,
+       |  round(avg(hits::DOUBLE / $k), 6) AS avg_recall FROM hits""".stripMargin
+
   // ------------------------------------------------------ semantic dedup
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): partition

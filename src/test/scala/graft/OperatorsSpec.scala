@@ -922,4 +922,74 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("key") === "hot").count()
     assert(hotChunks > 1, s"hot key landed in $hotChunks chunk(s)")
   }
+
+  test("pq: on-grid vectors encode with zero quantization error; recall well-formed") {
+    import spark.implicits._
+    val (m, ksub, dim) = (8, 8, 64)
+    val dsub = dim / m
+    val books = Similarity.pqCodebooks(m, ksub, dsub)
+    // vectors that ARE concatenations of codebook centroids: whatever
+    // centroid the encoder picks must sit at L2 distance 0, so the
+    // reconstruction from the codes equals the input exactly
+    val grid = Seq(0, 3, 7).zipWithIndex.map { case (j, id) =>
+      (id.toLong, (0 until m).flatMap(s => books(s)((j + s) % ksub)).map(_.toFloat).toArray)
+    }
+    val df = grid.toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(df, m, ksub, dim)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    grid.foreach { case (id, v) =>
+      val codes = enc(id)
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < ksub))
+      val recon = (0 until m).flatMap(s => books(s)(codes(s))).map(_.toFloat)
+      assert(recon == v.toSeq, s"vec $id: PQ reconstruction of an on-grid vector is not exact")
+    }
+    // off-grid corpus: recall number well-formed, anchors all counted
+    val r = Similarity.pqRecallAtK(emb, col("vec_id") % 100 === 0, k = 5,
+      m = m, ksub = ksub, dim = dim).head()
+    assert(r.getLong(0) == 5)
+    val rec = r.getDouble(1)
+    assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of range")
+  }
+
+  test("pq learned codebooks: training never increases distortion; encode parity") {
+    val (m, ksub, dim) = (8, 8, 64)
+    val dsub = dim / m
+    // driver-side mirror of the encoder's convention (ns = |c|^2/2 - <x,c>
+    // left-fold, first-min tiebreak) over the collected corpus
+    def encodeLocal(books: Array[Array[Array[Double]]], v: Array[Double]): Array[Int] =
+      Array.tabulate(m) { s =>
+        val sub = v.slice(s * dsub, s * dsub + dsub)
+        val ns = books(s).map { c =>
+          c.map(x => x * x).sum / 2 - sub.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+        }
+        ns.indices.minBy(j => (ns(j), j))
+      }
+    def distortion(books: Array[Array[Array[Double]]], vs: Seq[Array[Double]]): Double =
+      vs.map { v =>
+        val codes = encodeLocal(books, v)
+        (0 until m).map { s =>
+          val sub = v.slice(s * dsub, s * dsub + dsub)
+          sub.zip(books(s)(codes(s))).map { case (x, c) => (x - c) * (x - c) }.sum
+        }.sum
+      }.sum / vs.size
+    val vs = emb.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    val fixed = Similarity.pqCodebooks(m, ksub, dsub)
+    val learned = Similarity.pqTrainCodebooks(emb, m, ksub, dim, iters = 4)
+    // Lloyd monotonicity from the fixed-book seed (epsilon absorbs the
+    // scaled-long sum quantization)
+    val (df0, dl) = (distortion(fixed, vs), distortion(learned, vs))
+    assert(dl <= df0 + 1e-6, s"learned distortion $dl > fixed $df0")
+    // the distributed encoder agrees with the driver-side mirror on the
+    // learned (arbitrary-double) books, not just the ternary ones
+    val got = Similarity.pqEncodeWith(emb, learned, dim)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val ids = emb.select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+    ids.foreach { r =>
+      val want = encodeLocal(learned, r.getSeq[Double](1).toArray)
+      assert(got(r.getLong(0)).sameElements(want), s"encode parity broke for vec ${r.getLong(0)}")
+    }
+  }
 }
