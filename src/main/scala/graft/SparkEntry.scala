@@ -853,7 +853,15 @@ object SparkEntry {
     "q75_pq_rerank_recall" -> ((s, dir) =>
       graft.operators.Similarity.pqRerankRecallAtK(
         t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
-        shortlist = 50, m = 16, ksub = 16, dim = 64))
+        shortlist = 50, m = 16, ksub = 16, dim = 64)),
+
+    // the composed billion-scale index (IVF cells bound work, PQ codes
+    // bound bytes, rerank buys recall back): measured recall@5 of the
+    // full stack vs the exact float baseline
+    "q76_ivfpq_recall" -> ((s, dir) =>
+      graft.operators.Similarity.ivfPqRecallAtK(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
+        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1342,6 +1350,10 @@ object SparkEntry {
 
     "q75_pq_rerank_recall" ->
       graft.operators.Similarity.pqRerankRecallSql("vec_id % 100 = 0", k = 5,
-        shortlist = 50, m = 16, ksub = 16, dim = 64)
+        shortlist = 50, m = 16, ksub = 16, dim = 64),
+
+    "q76_ivfpq_recall" ->
+      graft.operators.Similarity.ivfPqRecallSql("vec_id % 100 = 0", k = 5,
+        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64)
   )
 }

@@ -795,6 +795,85 @@ object Similarity {
     recallOf(bruteForceTopK(emb, anchorPred, k),
       pqRerankTopK(emb, anchorPred, k, shortlist, m, ksub, dim), k)
 
+  // ------------------------------------------------------------- IVF + PQ
+
+  /** The COMPOSED billion-scale ANN index (the FAISS IVFPQ+refine
+    * shape): the inverted file bounds how much of the corpus each
+    * anchor touches (nProbe cells of corpus/cells expected occupancy),
+    * PQ codes bound the bytes per touched vector (~17 B vs 256 B
+    * floats), and the exact-cosine rerank of the ADC shortlist buys the
+    * recall back. Postings are ONE narrow projection (vec_id, cell,
+    * codes, nrm) — the scan never carries floats past it; candidates
+    * come from an equi-join on the DISJOINT cell id (no dedup shuffle
+    * can exist); ADC scores m array lookups per candidate against the
+    * broadcast per-anchor LUT; floats are fetched only for the
+    * shortlist ids via an equi-join. At 10^10 vectors: postings
+    * ~170 GB cluster-wide (memory-resident), per-anchor work ∝
+    * nProbe·corpus/cells, float reads ∝ shortlist — every term is a
+    * knob, none is the corpus. */
+  def ivfPqTopK(emb: DataFrame, anchorPred: Column, k: Int, shortlist: Int,
+      cells: Int, nProbe: Int, m: Int, ksub: Int, dim: Int): DataFrame =
+    ivfPqTopKWith(emb, anchorPred, k, shortlist, centroidWeights(cells, dim),
+      nProbe, pqCodebooks(m, ksub, dim / m), dim)
+
+  /** [[ivfPqTopK]] with EXPLICIT centroids and codebooks — the
+    * production entry point once [[kmeansCentroids]] and
+    * [[pqTrainCodebooks]] have learned them. */
+  def ivfPqTopKWith(emb: DataFrame, anchorPred: Column, k: Int, shortlist: Int,
+      centroids: Array[Array[Double]], nProbe: Int,
+      books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val cells = centroids.length
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = dim / m
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(shortlist >= k, s"shortlist=$shortlist < k=$k")
+    require(nProbe >= 1 && nProbe <= cells, s"nProbe=$nProbe of $cells cells")
+    val base = withNorm(emb)
+    val codes = array((0 until m).map { s =>
+      element_at(array_sort(
+        pqNegScoreStructs(slice(col("emb"), s * dsub + 1, dsub), books(s))), 1)
+        .getField("cid")
+    }: _*)
+    // the index: cell + codes + norm, floats dropped at the scan
+    val postings = base.select(col("vec_id"),
+      assignCell(col("emb"), centroids).as("cell"), codes.as("codes"), col("nrm"))
+    // per-anchor probe rows carry the ADC LUT (m·ksub doubles, repeated
+    // nProbe times in the broadcast — anchors are tiny by contract)
+    val dotStructs = centroidDotStructsW(col("emb"), centroids)
+    val lut = array((for (s <- 0 until m; j <- 0 until ksub)
+      yield dotLit(slice(col("emb"), s * dsub + 1, dsub), books(s)(j))): _*)
+    val probes = base.filter(anchorPred).select(
+      col("vec_id").as("anchor_id"),
+      explode(transform(slice(array_sort(dotStructs), 1, nProbe), s => s.getField("cid")))
+        .as("cell"),
+      lut.as("lut"), col("nrm").as("anrm"))
+    val adc = (0 until m).map { s =>
+      element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = postings.join(broadcast(probes), Seq("cell"))
+      .filter(col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+        round(adc / (col("anrm") * col("nrm")), 6).as("sim"))
+    val cand = partialTopK(scored, shortlist)
+      .select(col("anchor_id"), col("neighbor_id"))
+    val anchors = base.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
+    val rescored = cand.join(base, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(anchors), Seq("anchor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
+        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
+    partialTopK(rescored, k)
+  }
+
+  /** Measured recall@k of the full IVF+PQ+rerank stack vs the exact
+    * float baseline — the one number that sizes all three knobs
+    * (cells/nProbe vs m/ksub vs shortlist) together. */
+  def ivfPqRecallAtK(emb: DataFrame, anchorPred: Column, k: Int, shortlist: Int,
+      cells: Int, nProbe: Int, m: Int, ksub: Int, dim: Int): DataFrame =
+    recallOf(bruteForceTopK(emb, anchorPred, k),
+      ivfPqTopK(emb, anchorPred, k, shortlist, cells, nProbe, m, ksub, dim), k)
+
   /** DuckDB oracle for [[pqRecallAtK]] over `embeddings` with anchors
     * `anchorWhere`: exact ranking (same CTEs as the q55 oracle) vs the
     * ADC ranking recomputed from the encode CTEs. The per-pair ADC sim
@@ -825,8 +904,13 @@ object Similarity {
     * oracle) + ADC ranking `rq` recomputed from the encode CTEs. The
     * per-pair ADC sim mirrors the Spark association exactly:
     * per-subspace sub-dots (code selected by CASE) summed
-    * left-to-right, divided by the two norms, rounded to 6 dp. */
-  private def pqRecallCtes(anchorWhere: String, k: Int, m: Int, ksub: Int, dim: Int): String = {
+    * left-to-right, divided by the two norms, rounded to 6 dp.
+    * With `ivf = Some((cells, nProbe))` the ADC candidate set is
+    * additionally restricted to cell-matched (posting, probe) pairs —
+    * the oracle mirror of [[ivfPqTopK]]'s inverted-file pruning,
+    * rendered with the same cell/probe conventions as [[ivfTopKSql]]. */
+  private def pqRecallCtes(anchorWhere: String, k: Int, m: Int, ksub: Int, dim: Int,
+      ivf: Option[(Int, Int)] = None): String = {
     val dsub = dim / m
     val books = pqCodebooks(m, ksub, dsub)
     def scoreList(s: Int): String = books(s).map { c =>
@@ -846,6 +930,25 @@ object Similarity {
     }
     val adc = (0 until m).map(subDot).mkString(" + ")
     val simF = simSql("a.aemb", "e.emb")
+    // IVF restriction: posting cells + per-anchor probe lists, and the
+    // ADC candidate join threads through them (disjoint cells -> no
+    // dedup needed, exactly as on the Spark side)
+    val ivfCtes = ivf.map { case (cells, nProbe) =>
+      val dots = ivfDotsSql("emb", cells, dim)
+      s"""dl0 AS (SELECT vec_id, emb, $dots AS dl FROM e0),
+         |cl AS (SELECT vec_id, list_position(dl, list_max(dl)) - 1 AS cell FROM dl0),
+         |aprobe AS (SELECT anchor_id, cid AS cell FROM (
+         |  SELECT d.vec_id AS anchor_id, j.j AS cid,
+         |    row_number() OVER (PARTITION BY d.vec_id ORDER BY (d.dl)[j.j + 1] DESC, j.j ASC) AS r
+         |  FROM dl0 d CROSS JOIN (SELECT unnest(range($cells)) AS j) j WHERE $anchorWhere)
+         |  WHERE r <= $nProbe),
+         |""".stripMargin
+    }.getOrElse("")
+    val sqFrom = if (ivf.isDefined)
+      s"""FROM cd c JOIN cl pc ON pc.vec_id = c.vec_id
+         |  JOIN aprobe p ON pc.cell = p.cell
+         |  JOIN ax a ON a.anchor_id = p.anchor_id AND c.vec_id <> a.anchor_id""".stripMargin
+    else "FROM cd c JOIN ax a ON c.vec_id <> a.anchor_id"
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |ax AS (SELECT vec_id AS anchor_id, emb AS aemb,
        |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS anrm
@@ -856,7 +959,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM sx),
        |ex AS (SELECT anchor_id, neighbor_id FROM rx WHERE rank <= $k),
-       |ls AS (SELECT vec_id, emb,
+       |${ivfCtes}ls AS (SELECT vec_id, emb,
        |  $lsCols
        |  FROM e0),
        |cd AS (SELECT vec_id,
@@ -865,11 +968,28 @@ object Similarity {
        |  FROM ls),
        |sq AS (SELECT a.anchor_id, c.vec_id AS neighbor_id,
        |    round(($adc) / (a.anrm * c.nrm), 6) AS sim
-       |  FROM cd c JOIN ax a ON c.vec_id <> a.anchor_id),
+       |  $sqFrom),
        |rq AS (SELECT anchor_id, neighbor_id,
        |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM sq)""".stripMargin
   }
+
+  /** DuckDB oracle for [[ivfPqRecallAtK]]: the cell-restricted ADC CTEs
+    * rank a `shortlist`-deep candidate set inside the probed cells,
+    * exact cosine re-ranks it to k — [[pqRerankRecallSql]] plus the
+    * inverted-file pruning. */
+  def ivfPqRecallSql(anchorWhere: String, k: Int, shortlist: Int, cells: Int,
+      nProbe: Int, m: Int, ksub: Int, dim: Int): String =
+    s"""WITH ${pqRecallCtes(anchorWhere, k, m, ksub, dim, Some((cells, nProbe)))},
+       |cand AS (SELECT anchor_id, neighbor_id FROM rq WHERE rank <= $shortlist),
+       |sr AS (SELECT c.anchor_id, c.neighbor_id, ${simSql("a.aemb", "e.emb")} AS sim
+       |  FROM cand c JOIN e0 e ON e.vec_id = c.neighbor_id
+       |  JOIN ax a ON a.anchor_id = c.anchor_id),
+       |rr AS (SELECT anchor_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sr),
+       |ap AS (SELECT anchor_id, neighbor_id FROM rr WHERE rank <= $k),
+       |${pqHitsSql(k)}""".stripMargin
 
   private def pqHitsSql(k: Int): String =
     s"""hits AS (SELECT ex.anchor_id, count(ap.neighbor_id) AS hits

@@ -992,4 +992,33 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got(r.getLong(0)).sameElements(want), s"encode parity broke for vec ${r.getLong(0)}")
     }
   }
+
+  test("ivfpq: probing all cells degenerates to the pure PQ rerank path; pruning only shrinks") {
+    val pred = col("vec_id") % 50 === 0
+    val (m, ksub, dim, k, shortlist, cells) = (8, 8, 64, 5, 20, 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    // nProbe == cells: the cell restriction is vacuous (cells are
+    // disjoint, every posting matched exactly once), so the composed
+    // index must return EXACTLY the pqRerankTopK result
+    val full = rows(Similarity.ivfPqTopK(emb, pred, k, shortlist,
+      cells, nProbe = cells, m = m, ksub = ksub, dim = dim)
+      .select(col("anchor_id"), col("rank"), col("neighbor_id")))
+    val pure = rows(Similarity.pqRerankTopK(emb, pred, k, shortlist, m, ksub, dim)
+      .select(col("anchor_id"), col("rank"), col("neighbor_id")))
+    assert(full.sameElements(pure), "nProbe=cells must equal the un-pruned PQ rerank path")
+    // pruned probe: per-anchor candidates only from probed cells ->
+    // result sets stay well-formed (<= k per anchor, ranks contiguous)
+    val pruned = Similarity.ivfPqTopK(emb, pred, k, shortlist,
+      cells, nProbe = 2, m = m, ksub = ksub, dim = dim)
+    val byAnchor = pruned.groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx")).collect()
+    byAnchor.foreach { r =>
+      assert(r.getLong(1) <= k && r.getInt(2) == r.getLong(1),
+        s"anchor ${r.get(0)}: ranks not contiguous or > k")
+    }
+    val rec = Similarity.ivfPqRecallAtK(emb, pred, k, shortlist,
+      cells, nProbe = 2, m = m, ksub = ksub, dim = dim).head().getDouble(1)
+    assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of range")
+  }
 }
