@@ -542,7 +542,7 @@ object Similarity {
       bruteForceTopK(recon, anchorPred, k), k)
   }
 
-  private def recallOf(exactTopK: DataFrame, approxTopK: DataFrame, k: Int): DataFrame = {
+  private[graft] def recallOf(exactTopK: DataFrame, approxTopK: DataFrame, k: Int): DataFrame = {
     // the exact side is referenced twice below (hit join + anchor pad):
     // materialize once instead of re-running the anchor×corpus scoring
     // (persist-with-lineage by default — see [[graft.operators.Mat]])

@@ -1021,4 +1021,30 @@ class OperatorsSpec extends AnyFunSuite {
       cells, nProbe = 2, m = m, ksub = ksub, dim = dim).head().getDouble(1)
     assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of range")
   }
+
+  test("ivfpq learned end-to-end: kmeans cells + trained books through the composed index") {
+    // the production path: centroids from kmeansCentroids, codebooks
+    // from pqTrainCodebooks, both fed to ivfPqTopKWith — deterministic
+    // on this fixture, so the measured recall is a stable regression
+    // gate rather than a flaky threshold
+    val pred = col("vec_id") % 50 === 0
+    val (m, ksub, dim, k, shortlist, cells, nProbe) = (8, 8, 64, 5, 20, 8, 2)
+    val cents = Similarity.kmeansCentroids(emb, cells, dim, iters = 3)
+    val books = Similarity.pqTrainCodebooks(emb, m, ksub, dim, iters = 3)
+    val approx = Similarity.ivfPqTopKWith(emb, pred, k, shortlist,
+      cents, nProbe, books, dim)
+    val exact = Similarity.bruteForceTopK(emb, pred, k)
+    val learned = Similarity.recallOf(exact, approx, k).head()
+    assert(learned.getLong(0) > 0)
+    val recLearned = learned.getDouble(1)
+    // fixed-everything baseline at the same knobs
+    val recFixed = Similarity.ivfPqRecallAtK(emb, pred, k, shortlist,
+      cells, nProbe, m, ksub, dim).head().getDouble(1)
+    assert(recLearned >= 0.0 && recLearned <= 1.0)
+    // learned cells+books should not be WORSE than the untrained ±1/
+    // ternary defaults on this corpus (both deterministic, so this is
+    // an equality-stable assertion, not a statistical one)
+    assert(recLearned >= recFixed,
+      s"learned recall $recLearned < fixed-book recall $recFixed")
+  }
 }
