@@ -861,7 +861,20 @@ object SparkEntry {
     "q76_ivfpq_recall" -> ((s, dir) =>
       graft.operators.Similarity.ivfPqRecallAtK(
         t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
-        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64))
+        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64)),
+
+    // the PERSISTED form of q76: build the two-store IVF+PQ index
+    // (cell-partitioned postings, vb-bucketed floats), then probe it —
+    // the oracle checks the served top-k rows value-for-value, so the
+    // on-disk round-trip (codes, norms, partition pruning) is gated,
+    // not just the in-memory math
+    "q77_ann_index_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      graft.operators.AnnIndex.build(e, path, cells = 16, m = 16, ksub = 16, dim = 64)
+      graft.operators.AnnIndex.probe(e.filter(col("vec_id") % 100 === 0), path,
+        k = 5, shortlist = 50, nProbe = 4)
+    })
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1354,6 +1367,10 @@ object SparkEntry {
 
     "q76_ivfpq_recall" ->
       graft.operators.Similarity.ivfPqRecallSql("vec_id % 100 = 0", k = 5,
+        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64),
+
+    "q77_ann_index_probe" ->
+      graft.operators.Similarity.ivfPqTopKSql("vec_id % 100 = 0", k = 5,
         shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64)
   )
 }

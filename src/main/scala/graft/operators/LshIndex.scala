@@ -486,7 +486,7 @@ object LshIndex {
     * `store.old` from a previous crash is healed first (the swap's
     * second rename never ran, so `store` is absent and `.old` IS the
     * live copy). */
-  private def swapRewrite(spark: SparkSession, store: String)(
+  private[operators] def swapRewrite(spark: SparkSession, store: String)(
       plan: Option[DataFrame] => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -75,7 +75,7 @@ object Similarity {
     * vector instead of once per compared pair (the second select keeps
     * the cast array out of triple evaluation via CollapseProject's
     * non-cheap-expression rule). */
-  private def withNorm(emb: DataFrame): DataFrame =
+  private[operators] def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
 
@@ -100,7 +100,7 @@ object Similarity {
   }
 
   /** Rounded similarity from pre-normed sides: dot/(nrmA*nrmB). */
-  private def simExpr(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
+  private[operators] def simExpr(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
     round(dot(aEmb, bEmb) / (aNrm * bNrm), 6)
 
   /** DuckDB SQL: 6-dp rounded cosine of two DOUBLE[] expressions. */
@@ -146,7 +146,7 @@ object Similarity {
     * buffers are (anchor × partition)-sized before the slice, which is
     * bounded in the usual case but not by k. Both plans are
     * value-identical (same (negSim, neighbor_id) total order). */
-  private def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
     // NaN sims (zero-norm vectors) must rank FIRST to match `ORDER BY
     // sim DESC` in both Spark's window ordering and the DuckDB oracle
     // (both treat NaN as greater than any number) — but -NaN is still
@@ -287,7 +287,7 @@ object Similarity {
 
   /** (-dot, cellId) structs for every centroid — ascending sort order =
     * dot descending with first-cell tiebreak. */
-  private def centroidDotStructsW(v: Column, w: Array[Array[Double]]): Column =
+  private[operators] def centroidDotStructsW(v: Column, w: Array[Array[Double]]): Column =
     array(w.indices.map { j =>
       struct((-dotLit(v, w(j))).as("nd"), lit(j).as("cid"))
     }: _*)
@@ -611,15 +611,9 @@ object Similarity {
     * once [[pqTrainCodebooks]] has learned them. */
   def pqEncodeWith(emb: DataFrame, books: Array[Array[Array[Double]]],
       dim: Int): DataFrame = {
-    val m = books.length
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    val codes = array((0 until m).map { s =>
-      element_at(array_sort(
-        pqNegScoreStructs(slice(col("emb"), s * dsub + 1, dsub), books(s))), 1)
-        .getField("cid")
-    }: _*)
-    withNorm(emb).select(col("vec_id"), col("nrm"), codes.as("codes"))
+    require(dim % books.length == 0, s"m=${books.length} must divide dim=$dim")
+    withNorm(emb).select(col("vec_id"), col("nrm"),
+      pqCodesCol(col("emb"), books, dim).as("codes"))
   }
 
   /** L2 k-means PER SUBSPACE over (a sample of) the corpus — the
@@ -816,6 +810,84 @@ object Similarity {
     ivfPqTopKWith(emb, anchorPred, k, shortlist, centroidWeights(cells, dim),
       nProbe, pqCodebooks(m, ksub, dim / m), dim)
 
+  /** PQ codes array for a double-array column `v` under `books` — the
+    * ONE encoding of the code convention (neg-score ascending sort,
+    * first-centroid tiebreak), shared by [[pqEncodeWith]],
+    * [[ivfPqTopKWith]]'s postings and [[AnnIndex]]'s stored postings —
+    * an index written with one and probed with another would silently
+    * mis-rank. */
+  private[operators] def pqCodesCol(v: Column, books: Array[Array[Array[Double]]],
+      dim: Int): Column = {
+    val m = books.length
+    val dsub = dim / m
+    array((0 until m).map { s =>
+      element_at(array_sort(
+        pqNegScoreStructs(slice(v, s * dsub + 1, dsub), books(s))), 1)
+        .getField("cid")
+    }: _*)
+  }
+
+  /** Per-anchor ADC lookup table: lut[s·ksub + j] = <anchor_sub_s, c_{s,j}>. */
+  private[operators] def pqLutCol(v: Column, books: Array[Array[Array[Double]]],
+      dim: Int): Column = {
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = dim / m
+    array((for (s <- 0 until m; j <- 0 until ksub)
+      yield dotLit(slice(v, s * dsub + 1, dsub), books(s)(j))): _*)
+  }
+
+  /** ADC dot from a `lut` column and a `codes` column: m lookups summed
+    * left-to-right (the oracle mirrors the same association). */
+  private[operators] def adcDotCol(lut: Column, codes: Column, m: Int, ksub: Int): Column =
+    (0 until m).map { s =>
+      element_at(lut, lit(s * ksub) + element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Per-anchor probe rows (anchor_id, cell×nProbe exploded, lut, anrm)
+    * from a normed anchor frame — shared by [[ivfPqTopKWith]] and
+    * [[AnnIndex.probe]]. */
+  private[operators] def ivfPqProbes(anchors: DataFrame, centroids: Array[Array[Double]],
+      nProbe: Int, books: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val dotStructs = centroidDotStructsW(col("emb"), centroids)
+    anchors.select(
+      col("vec_id").as("anchor_id"),
+      explode(transform(slice(array_sort(dotStructs), 1, nProbe), s => s.getField("cid")))
+        .as("cell"),
+      pqLutCol(col("emb"), books, dim).as("lut"), col("nrm").as("anrm"))
+  }
+
+  /** ADC shortlist over prepared frames: `postings` (vec_id, cell,
+    * codes, nrm), `probes` ([[ivfPqProbes]] output). Returns the
+    * (anchor_id, neighbor_id) candidate pairs of the top-`shortlist`
+    * ADC-ranked neighbors per anchor — deterministic (ties broken by
+    * neighbor_id in [[partialTopK]]). Shared by [[ivfPqTopKWith]] and
+    * [[AnnIndex.probe]]. */
+  private[operators] def adcShortlist(postings: DataFrame, probes: DataFrame,
+      shortlist: Int, m: Int, ksub: Int): DataFrame = {
+    val adc = adcDotCol(col("lut"), col("codes"), m, ksub)
+    val scored = postings.join(broadcast(probes), Seq("cell"))
+      .filter(col("anchor_id") =!= col("vec_id"))
+      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
+        round(adc / (col("anrm") * col("nrm")), 6).as("sim"))
+    partialTopK(scored, shortlist)
+      .select(col("anchor_id"), col("neighbor_id"))
+  }
+
+  /** Exact-cosine rerank of shortlist pairs `cand` (anchor_id,
+    * neighbor_id) against `floats` (vec_id, emb, nrm) and `anchors`
+    * (anchor_id, aemb, anrm); the final top-k. Shared by
+    * [[ivfPqTopKWith]] and [[AnnIndex.probe]] — the persisted path
+    * cannot drift from the oracle-checked one. */
+  private[operators] def rerankTopK(cand: DataFrame, floats: DataFrame,
+      anchors: DataFrame, k: Int): DataFrame = {
+    val rescored = cand.join(floats, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(anchors), Seq("anchor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
+        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
+    partialTopK(rescored, k)
+  }
+
   /** [[ivfPqTopK]] with EXPLICIT centroids and codebooks — the
     * production entry point once [[kmeansCentroids]] and
     * [[pqTrainCodebooks]] have learned them. */
@@ -825,45 +897,20 @@ object Similarity {
     val cells = centroids.length
     val m = books.length
     val ksub = books(0).length
-    val dsub = dim / m
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(shortlist >= k, s"shortlist=$shortlist < k=$k")
     require(nProbe >= 1 && nProbe <= cells, s"nProbe=$nProbe of $cells cells")
     val base = withNorm(emb)
-    val codes = array((0 until m).map { s =>
-      element_at(array_sort(
-        pqNegScoreStructs(slice(col("emb"), s * dsub + 1, dsub), books(s))), 1)
-        .getField("cid")
-    }: _*)
     // the index: cell + codes + norm, floats dropped at the scan
     val postings = base.select(col("vec_id"),
-      assignCell(col("emb"), centroids).as("cell"), codes.as("codes"), col("nrm"))
+      assignCell(col("emb"), centroids).as("cell"),
+      pqCodesCol(col("emb"), books, dim).as("codes"), col("nrm"))
     // per-anchor probe rows carry the ADC LUT (m·ksub doubles, repeated
     // nProbe times in the broadcast — anchors are tiny by contract)
-    val dotStructs = centroidDotStructsW(col("emb"), centroids)
-    val lut = array((for (s <- 0 until m; j <- 0 until ksub)
-      yield dotLit(slice(col("emb"), s * dsub + 1, dsub), books(s)(j))): _*)
-    val probes = base.filter(anchorPred).select(
-      col("vec_id").as("anchor_id"),
-      explode(transform(slice(array_sort(dotStructs), 1, nProbe), s => s.getField("cid")))
-        .as("cell"),
-      lut.as("lut"), col("nrm").as("anrm"))
-    val adc = (0 until m).map { s =>
-      element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
-    val scored = postings.join(broadcast(probes), Seq("cell"))
-      .filter(col("anchor_id") =!= col("vec_id"))
-      .select(col("anchor_id"), col("vec_id").as("neighbor_id"),
-        round(adc / (col("anrm") * col("nrm")), 6).as("sim"))
-    val cand = partialTopK(scored, shortlist)
-      .select(col("anchor_id"), col("neighbor_id"))
+    val probes = ivfPqProbes(base.filter(anchorPred), centroids, nProbe, books, dim)
     val anchors = base.filter(anchorPred)
       .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"), col("nrm").as("anrm"))
-    val rescored = cand.join(base, col("neighbor_id") === col("vec_id"))
-      .join(broadcast(anchors), Seq("anchor_id"))
-      .select(col("anchor_id"), col("neighbor_id"),
-        simExpr(col("aemb"), col("emb"), col("anrm"), col("nrm")).as("sim"))
-    partialTopK(rescored, k)
+    rerankTopK(adcShortlist(postings, probes, shortlist, m, ksub), base, anchors, k)
   }
 
   /** Measured recall@k of the full IVF+PQ+rerank stack vs the exact
@@ -990,6 +1037,23 @@ object Similarity {
        |  FROM sr),
        |ap AS (SELECT anchor_id, neighbor_id FROM rr WHERE rank <= $k),
        |${pqHitsSql(k)}""".stripMargin
+
+  /** DuckDB oracle for the IVF+PQ TOP-K ROWS themselves (not the recall
+    * aggregate) — what [[AnnIndex.probe]] returns, so the persisted
+    * index is value-checkable row-for-row. Same CTE chain as
+    * [[ivfPqRecallSql]]; the exact-baseline CTEs it inherits are
+    * unreferenced and pruned by the engine. */
+  def ivfPqTopKSql(anchorWhere: String, k: Int, shortlist: Int, cells: Int,
+      nProbe: Int, m: Int, ksub: Int, dim: Int): String =
+    s"""WITH ${pqRecallCtes(anchorWhere, k, m, ksub, dim, Some((cells, nProbe)))},
+       |cand AS (SELECT anchor_id, neighbor_id FROM rq WHERE rank <= $shortlist),
+       |sr AS (SELECT c.anchor_id, c.neighbor_id, ${simSql("a.aemb", "e.emb")} AS sim
+       |  FROM cand c JOIN e0 e ON e.vec_id = c.neighbor_id
+       |  JOIN ax a ON a.anchor_id = c.anchor_id),
+       |rr AS (SELECT anchor_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sr)
+       |SELECT anchor_id, rank, neighbor_id, sim FROM rr WHERE rank <= $k""".stripMargin
 
   private def pqHitsSql(k: Int): String =
     s"""hits AS (SELECT ex.anchor_id, count(ap.neighbor_id) AS hits

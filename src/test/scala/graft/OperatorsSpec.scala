@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -1046,5 +1046,39 @@ class OperatorsSpec extends AnyFunSuite {
     // an equality-stable assertion, not a statistical one)
     assert(recLearned >= recFixed,
       s"learned recall $recLearned < fixed-book recall $recFixed")
+  }
+
+  test("ann index: persisted probe == in-memory operator; append == rebuild; compact bounds files") {
+    val pred = col("vec_id") % 50 === 0
+    val (m, ksub, dim, k, shortlist, cells, nProbe) = (8, 8, 64, 5, 20, 8, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    val dir = java.nio.file.Files.createTempDirectory("annidx-spec").toString
+    AnnIndex.build(emb, dir, cells, m, ksub, dim)
+    val anchors = emb.filter(pred)
+    // 1. the served rows equal the oracle-checked in-memory operator
+    val served = rows(AnnIndex.probe(anchors, dir, k, shortlist, nProbe))
+    val memory = rows(Similarity.ivfPqTopK(emb, pred, k, shortlist,
+      cells, nProbe, m, ksub, dim))
+    assert(served.sameElements(memory), "persisted probe diverged from the in-memory plan")
+    // 2. build(half) + append(half) serves the same rows as build(all)
+    val dir2 = java.nio.file.Files.createTempDirectory("annidx-spec2").toString
+    AnnIndex.build(emb.filter(col("vec_id") % 2 === 0), dir2, cells, m, ksub, dim)
+    AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0), dir2)
+    val incremental = rows(AnnIndex.probe(anchors, dir2, k, shortlist, nProbe))
+    assert(incremental.sameElements(served), "append path diverged from full rebuild")
+    // 3. compaction: a further append accretes files; compact shrinks
+    //    the file count and the SAME index serves identical rows
+    //    before and after (fresh-id vectors so dedup can't mask bugs)
+    AnnIndex.append(emb.filter(col("vec_id") % 7 === 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L), dir2)
+    val preCompact = rows(AnnIndex.probe(anchors, dir2, k, shortlist, nProbe))
+    val before = AnnIndex.dataFileCount(spark, dir2)
+    AnnIndex.compact(spark, dir2)
+    val after = AnnIndex.dataFileCount(spark, dir2)
+    assert(after < before, s"compact did not shrink file count ($before -> $after)")
+    val postCompact = rows(AnnIndex.probe(anchors, dir2, k, shortlist, nProbe))
+    assert(postCompact.sameElements(preCompact), "compact changed served rows")
   }
 }
