@@ -82,7 +82,11 @@ object AnnIndex {
     * (an index is only rankable under the books that encoded it —
     * re-training would orphan every stored code). Plain partitioned
     * parquet appends; [[compact]] bounds the file count. Input deduped
-    * by vec_id defensively, as in [[LshIndex.append]]. */
+    * by vec_id defensively, as in [[LshIndex.append]]. CONTRACT: ids
+    * must be NEW to the index (the insert-only analog of the engine's
+    * CDC appends) — appending an existing id leaves two live postings
+    * rows for it, and a probe would rank both; re-embedding is a
+    * rebuild concern, not an append. */
   def append(emb: DataFrame, path: String): Unit = {
     val meta = readMeta(emb.sparkSession, path)
     writeStores(emb.dropDuplicates("vec_id"), path, meta, SaveMode.Append)

@@ -1081,4 +1081,25 @@ class OperatorsSpec extends AnyFunSuite {
     val postCompact = rows(AnnIndex.probe(anchors, dir2, k, shortlist, nProbe))
     assert(postCompact.sameElements(preCompact), "compact changed served rows")
   }
+
+  test("ann index: learned centroids/books round-trip through meta exactly") {
+    // build(learn=true) persists TRAINED centroids+codebooks in meta/;
+    // a probe must equal the in-memory operator run with the same
+    // training — any precision loss in the JSON round-trip (or a drift
+    // between stored and training determinism) breaks row equality
+    val pred = col("vec_id") % 50 === 0
+    val (m, ksub, dim, k, shortlist, cells, nProbe) = (8, 8, 64, 5, 20, 8, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    val dir = java.nio.file.Files.createTempDirectory("annidx-learn").toString
+    AnnIndex.build(emb, dir, cells, m, ksub, dim, learn = true, iters = 2)
+    val served = rows(AnnIndex.probe(emb.filter(pred), dir, k, shortlist, nProbe))
+    val cents = Similarity.kmeansCentroids(emb, cells, dim, 2)
+    val books = Similarity.pqTrainCodebooks(emb, m, ksub, dim, 2)
+    val memory = rows(Similarity.ivfPqTopKWith(emb, pred, k, shortlist,
+      cents, nProbe, books, dim))
+    assert(served.sameElements(memory),
+      "learned-book probe diverged from in-memory training (meta round-trip lossy?)")
+  }
 }
