@@ -33,6 +33,10 @@ object SparkEntry {
   /** q70's rebucketed-lake fixture roots, keyed by source dir. */
   private val rebucketFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q78/q79's mid-stream schema-evolution lake fixture roots, keyed by
+    * source dir (batch 0 under the base schema, batch 1 evolved). */
+  private val evoFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Flagship: the CDC engine end-to-end at test scale — generate a
     * deterministic change log to disk, STREAM-replay it (Structured
     * Streaming, multi-batch, checkpointed) into a LakeTable with
@@ -874,6 +878,79 @@ object SparkEntry {
       graft.operators.AnnIndex.build(e, path, cells = 16, m = 16, ksub = 16, dim = 64)
       graft.operators.AnnIndex.probe(e.filter(col("vec_id") % 100 === 0), path,
         k = 5, shortlist = 50, nProbe = 4)
+    }),
+
+    // MID-STREAM SCHEMA EVOLUTION through the real engine — the north
+    // rule's additive path (new nullable column + int32->int64 widening)
+    // as an oracle-checked replay, not just a spec: batch 0 applies
+    // under the base schema (no lang, n_tok INT); batch 1 carries lang
+    // values, so [[graft.apply.BatchApply]] detects it and advances the
+    // table via [[graft.lake.LakeTable.evolveSchema]] (a METADATA-ONLY
+    // commit — zero data rewritten). Batch 1 updates only 1-in-5 keys
+    // under a permissive deltaThreshold, so every touched bucket takes a
+    // MERGE-ON-READ delta: the final table holds schema-0 BASE files
+    // under schema-1 delta overlays, and the read itself must align
+    // them by schema-id (missing lang -> null, n_tok INT -> BIGINT
+    // cast) before last-wins resolution. The result must equal a global
+    // last-wins over both batches with lang present only where a
+    // post-evolution event won.
+    "q78_schema_evolution" -> ((s, dir) => {
+      val root = evoFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-evolve-q").toString
+        val ev = t(s, dir, "events")
+        val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        def changes(withLang: Boolean) = ev.select(
+          col("user_id").as("doc_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_id").as("lsn"),
+          array(pmod(col("event_id"), lit(1000)).cast("int")).as("tokens"),
+          (pmod(col("event_id"), lit(7)) + 1).cast("int").as("n_tok"),
+          col("event_type").as("source"),
+          (if (withLang) concat(lit("l_"), col("event_type"))
+           else lit(null).cast("string")).as("lang"),
+          pmod(col("user_id"), lit(4)).cast("int").as("shard"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("tokens",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, containsNull = false)),
+          org.apache.spark.sql.types.StructField("n_tok",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType)))
+        val table = graft.lake.LakeTable.create(s, d, schema, nBuckets = 8)
+        graft.apply.BatchApply.apply(table,
+          changes(withLang = false).filter(col("lsn") <= mid), batchId = 0)
+        graft.apply.BatchApply.apply(table,
+          changes(withLang = true)
+            .filter(col("lsn") > mid && pmod(col("doc_id"), lit(5)) === 0),
+          batchId = 1, deltaThreshold = 0.5)
+        d
+      })
+      // n_tok deliberately NOT re-cast here: the driver's schema check
+      // verifies the table itself serves BIGINT after the widening
+      graft.lake.LakeTable.load(s, root).read()
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"), col("lang"))
+    }),
+
+    // PER-PARTITION LINEAGE (north rule: "source offset range ->
+    // snapshot-id"): every data commit records, per source shard, the
+    // applied lsn range and raw-event count. This query serves the
+    // lineage of the q78 replay back as rows and the oracle recomputes
+    // it from the raw events — the audit trail a resumable ingest owes
+    // its operators, checked value-exact. distinct: the evolve commit is
+    // metadata-only and carries its parent's lineage forward.
+    "q79_lineage" -> ((s, dir) => {
+      val _ = queries("q78_schema_evolution")(s, dir)
+      val table = graft.lake.LakeTable.load(s, evoFixtures(dir))
+      val entries = table.listVersions.flatMap(v => table.snapshotAt(v).lineage).distinct
+      s.createDataFrame(entries)
+        .select(col("batchId").as("batch_id"), col("shard"),
+          col("minLsn").as("min_lsn"), col("maxLsn").as("max_lsn"),
+          col("rows").as("n_rows"))
     })
   )
 
@@ -1371,6 +1448,37 @@ object SparkEntry {
 
     "q77_ann_index_probe" ->
       graft.operators.Similarity.ivfPqTopKSql("vec_id % 100 = 0", k = 5,
-        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64)
+        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64),
+
+    // q78: global last-wins over batch 0 (lsn <= mid, all keys) UNION
+    // batch 1 (lsn > mid, only keys with doc_id % 5 = 0, carrying
+    // lang); n_tok rides the widened BIGINT
+    "q78_schema_evolution" ->
+      """WITH b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |c AS (SELECT user_id AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::BIGINT AS n_tok,
+        |        event_type AS source,
+        |        CASE WHEN event_id > b.mid THEN 'l_' || event_type END AS lang
+        |      FROM events, b
+        |      WHERE event_id <= b.mid OR user_id % 5 = 0),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, tokens_csv, n_tok, source, lang
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // q79: per (batch, shard) applied-lsn range + raw-event count,
+    // mirroring q78's batch slicing
+    "q79_lineage" ->
+      """WITH b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |c AS (SELECT CASE WHEN event_id <= b.mid THEN 0 ELSE 1 END::BIGINT AS batch_id,
+        |        (user_id % 4)::INT AS shard, event_id
+        |      FROM events, b
+        |      WHERE event_id <= b.mid OR user_id % 5 = 0)
+        |SELECT batch_id, shard, min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+        |       count(*) AS n_rows
+        |FROM c GROUP BY batch_id, shard""".stripMargin
   )
 }
