@@ -186,10 +186,14 @@ object Bench {
       try spark1.read.parquet(s"$sfDir/lineitem.parquet").count()
       catch { case _: Throwable => () }
       // untimed FIXTURE warmup: the round-trip queries build on-disk
-      // fixtures memoized per source dir (CSV dump, JSONL dump, the q62
-      // lake+changelog) — build them here so their timed numbers
+      // fixtures memoized per source dir (CSV/JSONL/ORC dumps, the q62
+      // lake+changelog, the q70 rebucket pair, the q77 ANN index, the
+      // q78 evolution lake) — build them here so their timed numbers
       // measure the declared READ path, not one-time setup
-      Seq("q25_csv_source", "q56_json_source", "q62_lake_changelog").foreach { q =>
+      Seq("q25_csv_source", "q56_json_source", "q62_lake_changelog",
+          "q67_orc_source", "q69_exif_prune", "q70_rebucket",
+          "q77_ann_index_probe", "q78_schema_evolution",
+          "q80_stream_replay").foreach { q =>
         try SparkEntry.queries(q)(spark1, sfDir).count()
         catch { case _: Throwable => () }
       }
