@@ -38,6 +38,15 @@ object Main {
       if (spec.jdbcReader.isDefined) {
         passed += s"reader.jdbc: options validated (no live DB probe in dryRun)"
         None
+      } else if (spec.logFormat == "debezium") {
+        // envelope logs are self-describing JSON; schema is fixed by the
+        // codec, so the dryRun validates existence only (decoding a
+        // sample would be a data read, which dryRun promises not to do)
+        val logPath = new org.apache.hadoop.fs.Path(spec.logDir)
+        val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(logPath), s"reader.logDir does not exist: ${spec.logDir}")
+        passed += s"reader.logDir: exists (debezium envelope lines, codec-fixed schema)"
+        Some(graft.model.ChangeLog.schema)
       } else Some {
         val logPath = new org.apache.hadoop.fs.Path(spec.logDir)
         val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -168,7 +177,8 @@ object Main {
       quarantineDir = spec.quarantineDir,
       errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),
       dedup = spec.dedup,
-      metrics = Some(metrics))
+      metrics = Some(metrics),
+      logFormat = spec.logFormat)
 
     spec.postSql.foreach(spark.sql(_).collect()) // DataX postSql analog
 

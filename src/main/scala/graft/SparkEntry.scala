@@ -37,6 +37,9 @@ object SparkEntry {
     * source dir (batch 0 under the base schema, batch 1 evolved). */
   private val evoFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q81's Debezium envelope JSONL fixture dirs, keyed by source dir. */
+  private val envelopeFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q77's persisted IVF+PQ index roots, keyed by source dir — built
     * once so repeated calls (and the bench's timed pass) measure the
     * PROBE path, not the one-time index build. */
@@ -1020,6 +1023,43 @@ object SparkEntry {
       graft.lake.LakeTable.load(s, s"$root/table").read()
         .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
           col("n_tok"), col("source"), col("lang"))
+    }),
+
+    // CDC ENVELOPE DECODE (the binlog/WAL wire format): a Debezium-style
+    // JSON-lines envelope feed derived from the events table is decoded
+    // by graft.sources.CdcEnvelope.parse — from_json under an EXPLICIT
+    // schema (no inference pre-pass), op mapping c/r->I u->U d->D, key
+    // from after-else-before, all ONE codegen-fused projection riding
+    // the text scan. The oracle recomputes the canonical rows from the
+    // original parquet directly (same convention as the q25/q56/q67
+    // format round-trips), so the whole wire decode is value-exact.
+    // The fixture rides toEnvelope (parse's spec-asserted inverse), so
+    // this also oracle-checks the EXPORT rendering end-to-end.
+    "q81_cdc_envelope" -> ((s, dir) => {
+      val tmp = envelopeFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-dbz").toString
+        val isD = col("event_type") === "error"
+        val canonical = t(s, dir, "events").select(
+          pmod(col("user_id"), lit(4)).cast("int").as("shard"),
+          col("event_id").as("lsn"),
+          when(isD, "D").when(col("event_type") === "signup", "I").otherwise("U").as("op"),
+          format_string("u%06d", col("user_id")).as("doc_id"),
+          when(isD, lit(null)).otherwise(array(
+            pmod(col("event_id"), lit(1000)).cast("int"),
+            pmod(col("user_id"), lit(1000)).cast("int"))).as("tokens"),
+          when(isD, lit(null)).otherwise(lit(2L)).as("n_tok"),
+          when(isD, lit(null)).otherwise(col("event_type")).as("source"),
+          lit(null).cast("string").as("lang"))
+        graft.sources.CdcEnvelope.toEnvelope(canonical, table = "events")
+          .write.mode("overwrite").text(d)
+        d
+      })
+      graft.sources.CdcEnvelope.parse(s.read.text(tmp))
+        .select(col("shard"), col("lsn"), col("op"), col("doc_id"),
+          // concat_ws maps a null array to "" — keep deletes' NULL
+          when(col("tokens").isNull, lit(null))
+            .otherwise(concat_ws(",", col("tokens"))).as("tokens_csv"),
+          col("n_tok"), col("source"))
     })
   )
 
@@ -1565,6 +1605,21 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, tokens_csv, n_tok, source, lang
-        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // q81 round-trips the canonical change rows through the Debezium
+    // JSON envelope in Spark (toEnvelope -> text -> parse); the values
+    // the oracle must reproduce are the canonical rows derived from the
+    // original parquet (q67's round-trip convention)
+    "q81_cdc_envelope" ->
+      """SELECT (user_id % 4)::INT AS shard, event_id AS lsn,
+        |CASE WHEN event_type = 'error' THEN 'D'
+        |     WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        |'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id,
+        |CASE WHEN event_type = 'error' THEN NULL
+        |     ELSE (event_id % 1000)::VARCHAR || ',' || (user_id % 1000)::VARCHAR END AS tokens_csv,
+        |CASE WHEN event_type = 'error' THEN NULL ELSE 2 END::BIGINT AS n_tok,
+        |CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source
+        |FROM events""".stripMargin
   )
 }

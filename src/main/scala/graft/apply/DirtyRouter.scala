@@ -47,7 +47,10 @@ object DirtyRouter {
     * and well-formed, token payload consistent with op and n_tok. */
   def invalidReason(): Column = {
     val badKey = col("doc_id").isNull || length(col("doc_id")) === 0
-    val badOp = !col("op").isin("I", "U", "D")
+    // isNull first: `!isin` is NULL (not true) for a null op, and a
+    // null op is exactly what the envelope codec emits for an unknown
+    // wire op code — it must land in quarantine, not slip through
+    val badOp = col("op").isNull || !col("op").isin("I", "U", "D")
     val badLsn = col("lsn").isNull || col("lsn") < 0
     val badPayload = (col("op") =!= "D") &&
       (col("tokens").isNull || col("n_tok").isNull || size(col("tokens")) =!= col("n_tok"))

@@ -62,6 +62,10 @@ final case class JobSpec(
       * such promise, so this is strictly opt-in; the per-row lsn guard
       * stays the unconditional correctness net either way. */
     assumeOrdered: Boolean = false,
+    /** `reader.format`: wire decoding of the change log — "parquet"
+      * (typed segments, the default) or "debezium" (JSON-lines CDC
+      * envelopes decoded by [[graft.sources.CdcEnvelope]]). */
+    logFormat: String = "parquet",
     tableDir: String,
     checkpointDir: String,
     nBuckets: Int,
@@ -348,6 +352,11 @@ object JobSpec {
           s"${str(j \ "reader" \ "table")}/${graft.lake.LakeTable.ChangelogDir}"
       },
       assumeOrdered = (j \ "reader" \ "assumeOrdered") == JBool(true),
+      logFormat = str(j \ "reader" \ "format", "parquet") match {
+        case f @ ("parquet" | "debezium") => f
+        case other => throw new IllegalArgumentException(
+          s"reader.format must be 'parquet' or 'debezium', got '$other'")
+      },
       tableDir = str(j \ "writer" \ "tableDir",
         if (jdbcWriter.isDefined || fileWriter.isDefined) ""
         else throw new IllegalArgumentException("writer needs tableDir, jdbc or file block")),

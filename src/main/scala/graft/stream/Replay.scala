@@ -78,7 +78,8 @@ object Replay {
       quarantineDir: Option[String] = None,
       errorLimit: graft.apply.DirtyRouter.ErrorLimit = graft.apply.DirtyRouter.ErrorLimit(),
       dedup: Option[graft.model.DedupSpec] = None,
-      metrics: Option[ReplayMetrics] = None): LakeTable = {
+      metrics: Option[ReplayMetrics] = None,
+      logFormat: String = "parquet"): LakeTable = {
 
     val table =
       if (LakeTable.exists(spark, tableDir)) LakeTable.load(spark, tableDir)
@@ -94,11 +95,24 @@ object Replay {
     }
 
     // the file source rejects files+bytes caps together: the byte cap
-    // (DataX byteCapacity analog) takes precedence when configured
-    val reader = spark.readStream.schema(ChangeLog.schema)
+    // (DataX byteCapacity analog) takes precedence when configured.
+    // logFormat selects the wire decoding: "parquet" = typed log
+    // segments read under the explicit ChangeLog schema; "debezium" =
+    // JSON-lines envelopes decoded by the CdcEnvelope codec (one fused
+    // projection riding the text scan — malformed lines surface as
+    // null-key/null-op rows for the dirty router, never a stream stop)
+    val reader = logFormat match {
+      case "parquet" => spark.readStream.schema(ChangeLog.schema)
+      case "debezium" => spark.readStream
+      case other => throw new IllegalArgumentException(
+        s"reader.format must be 'parquet' or 'debezium', got '$other'")
+    }
     if (maxBytesPerTrigger > 0) reader.option("maxBytesPerTrigger", maxBytesPerTrigger)
     else reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val stream = reader.parquet(logDir)
+    val stream = logFormat match {
+      case "parquet" => reader.parquet(logDir)
+      case _ => graft.sources.CdcEnvelope.parse(reader.text(logDir))
+    }
 
     var batches = 0
     var appliedRows = 0L

@@ -1,0 +1,105 @@
+package graft
+
+import graft.gen.ChangeLogGen
+import graft.model.GenConfig
+import graft.sources.CdcEnvelope
+import graft.stream.Replay
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Debezium-style JSON envelope codec ([[CdcEnvelope]]) and its
+  * streaming-reader integration (`Replay.replay(logFormat="debezium")`). */
+class CdcEnvelopeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // small log WITH mid-stream evolution (lang appears at lsn 6000) and
+  // skew, so the round-trip covers null lang, non-null lang, deletes
+  val cfg = GenConfig(nEvents = 10000, nDocs = 2000, nShards = 4,
+    hotPerMille = 100, nHotDocs = 4, avgTokens = 8, nSegments = 4,
+    evolveAtLsn = 6000)
+
+  private def rowKey(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("shard"), col("lsn"), col("op"), col("doc_id"),
+    coalesce(concat_ws(",", col("tokens")), lit("∅")).as("t"),
+    col("n_tok"), col("source"), col("lang"))
+
+  test("toEnvelope -> parse round-trips the canonical rows exactly") {
+    spark.sparkContext.setLogLevel("WARN")
+    val events = ChangeLogGen.events(spark, cfg)
+    val back = CdcEnvelope.parse(CdcEnvelope.toEnvelope(events))
+    assert(rowKey(back).exceptAll(rowKey(events)).isEmpty)
+    assert(rowKey(events).exceptAll(rowKey(back)).isEmpty)
+  }
+
+  test("shard derivation falls back to key hash when the wire omits it") {
+    val events = ChangeLogGen.events(spark, cfg, 0, 200)
+    // strip the carried shard from the wire
+    val noShard = CdcEnvelope.toEnvelope(events).select(
+      regexp_replace(col("value"), "\"shard\":\\d+", "\"shard\":null").as("value"))
+    val parsed = CdcEnvelope.parse(noShard, nShards = 4)
+    // derived shards are key-sticky and in range; payload unharmed
+    assert(parsed.filter(col("shard").isNull || col("shard") < 0 || col("shard") >= 4).count() == 0)
+    assert(parsed.groupBy("doc_id").agg(countDistinct("shard").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    assert(parsed.select("lsn", "doc_id").exceptAll(events.select("lsn", "doc_id")).isEmpty)
+  }
+
+  test("malformed lines surface as dirty rows, not stream failures") {
+    import spark.implicits._
+    val lines = Seq(
+      "this is not json",
+      // unknown op code (key present, so the op rule is what fires)
+      """{"payload": {"after": {"doc_id": "d0", "tokens": [1], "n_tok": 1, "source": "cc"},
+         "op": "x", "source": {"lsn": 7, "shard": 0}}}""".replace("\n", " "),
+      """{"payload": {"after": {"doc_id": "d1", "tokens": [1], "n_tok": 1, "source": "cc"},
+         "op": "c", "source": {"lsn": 9, "shard": 0}}}""".replace("\n", " ")
+    ).toDF("value")
+    val parsed = CdcEnvelope.parse(lines)
+    val reasons = parsed.select(graft.apply.DirtyRouter.invalidReason().as("r"))
+      .collect().map(_.getString(0))
+    assert(reasons.count(_ == null) == 1) // only the valid insert survives
+    assert(reasons.contains("null_or_empty_doc_id")) // non-JSON line
+    assert(reasons.contains("unknown_op")) // op "x"
+  }
+
+  test("replaying an envelope log equals replaying the parquet log") {
+    val d = tmpDir("graft-dbz-replay")
+    // parquet form
+    ChangeLogGen.write(spark, cfg, s"$d/plog")
+    Replay.replay(spark, s"$d/plog", s"$d/ptable", s"$d/pcp",
+      nBuckets = 8, maxFilesPerTrigger = 2)
+    // envelope form: same events rendered as JSON-lines segments,
+    // written oldest-first so the file source admits them in log order
+    val fs = FileSystem.get(new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$d/jlog"))
+    val segSize = cfg.nEvents / cfg.nSegments
+    (0 until cfg.nSegments).foreach { i =>
+      val tmp = new Path(s"$d/jlog/.tmp-$i")
+      CdcEnvelope.toEnvelope(
+          ChangeLogGen.events(spark, cfg, i * segSize, (i + 1) * segSize))
+        .coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).filter(_.getName.startsWith("part-")).head
+      fs.rename(part, new Path(f"$d/jlog/seg-$i%05d.txt"))
+      fs.delete(tmp, true)
+    }
+    Replay.replay(spark, s"$d/jlog", s"$d/jtable", s"$d/jcp",
+      nBuckets = 8, maxFilesPerTrigger = 2, logFormat = "debezium")
+    val p = graft.lake.LakeTable.load(spark, s"$d/ptable").read()
+    val j = graft.lake.LakeTable.load(spark, s"$d/jtable").read()
+    assert(j.exceptAll(p).isEmpty && p.exceptAll(j).isEmpty)
+    assert(p.count() > 0)
+  }
+}
