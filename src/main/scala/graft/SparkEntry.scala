@@ -1060,6 +1060,25 @@ object SparkEntry {
           when(col("tokens").isNull, lit(null))
             .otherwise(concat_ws(",", col("tokens"))).as("tokens_csv"),
           col("n_tok"), col("source"))
+    }),
+
+    // INCREMENTAL STATE EXPORT (zone-map file skipping): rows of the
+    // q80 replayed table whose CURRENT version landed after the log's
+    // midpoint, via LakeTable.readUpdatedSince — the manifest's
+    // per-file (minLsn, maxLsn) stats skip buckets untouched since the
+    // threshold without opening a file (spec asserts the pruned
+    // inputFiles); the oracle recomputes "last-wins winners with
+    // winner-lsn past the midpoint" independently, so both the
+    // pruning's SAFETY (no missing rows) and the returned `last_lsn`
+    // watermark are value-exact.
+    "q82_updated_since" -> ((s, dir) => {
+      val _ = queries("q80_stream_replay")(s, dir) // ensures the fixture
+      val root = streamFixtures(dir)
+      val b = t(s, dir, "events").agg(min(col("event_id")), max(col("event_id"))).head()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      graft.lake.LakeTable.load(s, s"$root/table").readUpdatedSince(mid + 1)
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"), col("lang"), col("last_lsn"))
     })
   )
 
@@ -1620,6 +1639,23 @@ object SparkEntry {
         |     ELSE (event_id % 1000)::VARCHAR || ',' || (user_id % 1000)::VARCHAR END AS tokens_csv,
         |CASE WHEN event_type = 'error' THEN NULL ELSE 2 END::BIGINT AS n_tok,
         |CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // q82: q80's table, filtered to winners past the log midpoint —
+    // the incremental-export slice plus its per-row lsn watermark
+    "q82_updated_since" ->
+      """WITH b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |c AS (SELECT 'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::BIGINT AS n_tok,
+        |        event_type AS source,
+        |        CASE WHEN event_id > b.mid THEN 'l_' || event_type END AS lang
+        |      FROM events, b),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, tokens_csv, n_tok, source, lang, lsn AS last_lsn
+        |FROM w, b WHERE rn = 1 AND op <> 'D' AND lsn > b.mid""".stripMargin
   )
 }

@@ -135,11 +135,19 @@ object BatchApply {
     * (transforms, dirty routing, dedup admission included), so the
     * heal is a metadata op, never a recomputation. No-op when already
     * published or never staged. */
-  def publishChangelog(table: LakeTable, batchId: Long): Unit = {
+  /** `replace = true` ONLY on the fresh-commit path (this process just
+    * committed `batchId`, so the staged dir is authoritative): an
+    * existing final partition there is a stale orphan from a rollback
+    * whose cleanup was interrupted ([[LakeTable.rollbackTo]]) and must
+    * be replaced, not kept. Fenced retries keep the default — there the
+    * final partition is the previously published truth and a staged
+    * leftover is the debris. */
+  def publishChangelog(table: LakeTable, batchId: Long, replace: Boolean = false): Unit = {
     val conf = table.spark.sparkContext.hadoopConfiguration
     val staged = new org.apache.hadoop.fs.Path(stagedChangelog(table, batchId))
     val fin = new org.apache.hadoop.fs.Path(changelogPartition(table, batchId))
     val fs = fin.getFileSystem(conf)
+    if (fs.exists(fin) && replace && fs.exists(staged)) fs.delete(fin, true)
     if (fs.exists(fin)) {
       if (fs.exists(staged)) fs.delete(staged, true) // republish race debris
     } else if (fs.exists(staged)) {
@@ -337,7 +345,10 @@ object BatchApply {
       if (changelog) stageChangelog(table, canonical, batchId)
       val committed =
         table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
-      if (changelog) publishChangelog(table, batchId)
+      // replace: this process just committed batchId, so the staged dir
+      // is authoritative — a pre-existing final partition is a stale
+      // orphan of an interrupted rollback and must not win
+      if (changelog) publishChangelog(table, batchId, replace = true)
       committed
     } finally canonical.unpersist(false)
   }

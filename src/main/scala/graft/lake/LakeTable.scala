@@ -484,6 +484,31 @@ class LakeTable(val spark: SparkSession, val root: String) {
       .filter(!col(DeletedCol)).drop(LsnCol, DeletedCol)
   }
 
+  /** INCREMENTAL STATE EXPORT — rows whose CURRENT version was written
+    * at or after `sinceLsn` (the "what changed since my last export"
+    * primitive for consumers that want STATE, not the change feed; works
+    * on any table, feed enabled or not, because it reads only manifest
+    * stats + data files). Zone-map pruning: the manifest's per-file
+    * (minLsn, maxLsn) footer stats — already collected at commit time
+    * for the lineage — bound every file's `_lsn` domain, so a bucket
+    * none of whose files reaches `sinceLsn` cannot hold a qualifying
+    * current row and is skipped WITHOUT touching storage. A 10^10-row
+    * table where the last day touched 2% of buckets exports that day by
+    * reading ~2% of its files. Buckets that do qualify are read in
+    * full (last-wins resolution needs every version the bucket holds —
+    * a file-level cut inside the bucket could crown a stale winner);
+    * there the `_lsn >= since` filter still pushes into the parquet
+    * scan of COW buckets for row-group skipping. Returns user columns
+    * plus `last_lsn` — the per-row high-watermark consumers checkpoint
+    * so their next export is `readUpdatedSince(prevMax + 1)`. */
+  def readUpdatedSince(sinceLsn: Long, snapshot: Option[Snapshot] = None): DataFrame = {
+    val s = snapshot.getOrElse(current)
+    val hot = s.files.filter(_.maxLsn >= sinceLsn).map(_.bucket).toSet
+    readResolved(Some(hot), Some(s))
+      .filter(col(LsnCol) >= sinceLsn && !col(DeletedCol))
+      .withColumnRenamed(LsnCol, "last_lsn").drop(DeletedCol)
+  }
+
   /** INCREMENTAL CHANGE READ — the table as a CDC *source* (the Delta
     * CDF / Iceberg incremental-scan analog, and the composability story
     * of the reference's `otsstreamreader`: a downstream job can tail
@@ -845,6 +870,60 @@ class LakeTable(val spark: SparkSession, val root: String) {
       schemaId = nid, schemas = s.schemas + (nid -> newSchema), manifests = ms)
     if (!writeSnapshot(next)) throw new IllegalStateException("evolve commit race")
     cachePut(next.version, next)
+  }
+
+  /** ROLLBACK — reinstate the table state of a retained snapshot as a
+    * NEW head commit (Iceberg's rollback discipline: history only moves
+    * forward; the bad commits stay inspectable until [[vacuum]] expires
+    * them). The new descriptor copies the target's schema, file set,
+    * batch fence, watermarks and lineage, so reads serve the old state
+    * and a resumed ingest re-applies everything past the reinstated
+    * `batchId` — note the STREAM side must be rewound too (a fresh
+    * checkpoint dir over a log that still holds those events), exactly
+    * like Iceberg rollback + source rewind.
+    *
+    * Change feed: rows past the reinstated fence are already invisible
+    * (`readChanges` filters `batch_id <= current.batchId`), but the
+    * now-orphaned per-batch partitions must be DELETED so a re-applied
+    * batch republishes cleanly (the publish path otherwise keeps the
+    * stale dir — see [[graft.apply.BatchApply.publishChangelog]]'s
+    * replace flag for the crash-window backstop). A COMPACTED ranged
+    * store spanning the rollback point cannot be split in a
+    * crash-consistent way (its hi feeds the next compaction's resume
+    * point), so that case fails loudly: roll back to a newer version or
+    * expire the feed first. */
+  def rollbackTo(version: Long): Snapshot = {
+    val head = current
+    if (version == head.version) return head
+    require(listVersions.contains(version),
+      s"cannot roll back to unknown/expired version $version (retained: ${listVersions.mkString(",")})")
+    val tgt = snapshotAt(version)
+    val clDir = new Path(root, ChangelogDir)
+    val hasFeed = fs.exists(clDir)
+    if (hasFeed) {
+      val coveredHi = rangedFeedDirs().lastOption.map(_._2).getOrElse(-1L)
+      require(coveredHi <= tgt.batchId,
+        s"rollback to batch ${tgt.batchId} would split the compacted feed store " +
+          s"(ranged through batch $coveredHi) — roll back to a newer version, or drop the feed")
+    }
+    // a legacy (inline-file) target self-upgrades, same as evolveSchema
+    val ms = if (tgt.manifests.isEmpty && tgt.files.nonEmpty)
+      Seq(writeManifest(Manifest(tgt.files, Set.empty))) else tgt.manifests
+    val next = tgt.copy(version = head.version + 1, parent = head.version, manifests = ms)
+    if (!writeSnapshot(next)) throw new IllegalStateException("rollback commit race")
+    cachePut(next.version, next)
+    // AFTER the commit point: orphaned future feed partitions (a crash
+    // here leaves them — hidden by the read fence, replaced by the
+    // publish path's replace flag when their batch id is re-applied)
+    if (hasFeed) fs.listStatus(clDir).foreach { st =>
+      val n = st.getPath.getName
+      val b =
+        if (n.startsWith("batch_id=")) Some(n.stripPrefix("batch_id=").toLong)
+        else if (n.startsWith(".staged-batch_id=")) Some(n.stripPrefix(".staged-batch_id=").toLong)
+        else None
+      if (b.exists(_ > tgt.batchId)) fs.delete(st.getPath, true)
+    }
+    next
   }
 
   // ------------------------------------------------------------- maintain

@@ -200,6 +200,50 @@ class LakeManifestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucketFn"))
   }
 
+  test("rollbackTo reinstates a prior state as a forward commit; feed stays consistent") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-rollback")
+    val root = s"$dir/t"
+    val table = Replay.createTable(spark, root, nBuckets = 8)
+    val cfg = GenConfig(nEvents = 3000, nDocs = 600, nShards = 4)
+    BatchApply.apply(table, ChangeLogGen.events(spark, cfg, 0, 1000), 0, changelog = true)
+    BatchApply.apply(table, ChangeLogGen.events(spark, cfg, 1000, 2000), 1, changelog = true)
+    val goodV = table.currentVersion
+    val goodState = table.read().orderBy("doc_id").collect()
+    BatchApply.apply(table, ChangeLogGen.events(spark, cfg, 2000, 3000), 2, changelog = true)
+    assert(!table.read().orderBy("doc_id").collect().sameElements(goodState))
+
+    val rb = table.rollbackTo(goodV)
+    // history moves FORWARD: new head, old versions still inspectable
+    assert(rb.version == goodV + 2 && table.currentVersion == rb.version)
+    assert(table.read().orderBy("doc_id").collect().sameElements(goodState))
+    assert(rb.batchId == 1L)
+    // the bad commit remains time-travelable until vacuumed
+    assert(table.read(Some(table.snapshotAt(goodV + 1))).count() > 0)
+    // feed: batch 2's partition is gone; the feed now replays to the
+    // reinstated state exactly
+    assert(table.readChanges().agg(max(col("batch_id"))).head().getInt(0) == 1)
+    assert(!new java.io.File(s"$root/changelog/batch_id=2").exists())
+
+    // resume ingest with a DIFFERENT batch 2: simulate an interrupted
+    // rollback cleanup by planting a stale final partition first — the
+    // fresh-commit publish must REPLACE it, never keep it
+    val stale = new java.io.File(s"$root/changelog/batch_id=2")
+    val staleSrc = s"$root/changelog/batch_id=1"
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(staleSrc), stale)
+    val alt = ChangeLogGen.events(spark, cfg.copy(seed = 99L), 2000, 2600)
+    BatchApply.apply(table, alt, 2, changelog = true)
+    val feed2 = table.readChanges(sinceBatchId = 1)
+    assert(feed2.select("doc_id").distinct().count() ==
+      alt.select("doc_id").distinct().count(),
+      "stale rolled-back feed partition must be replaced by the re-applied batch")
+
+    // guards: unknown version; rollback into compacted-feed territory
+    intercept[IllegalArgumentException](table.rollbackTo(9999L))
+    table.compactChangelog(retainRecent = 0) // ranges everything applied
+    intercept[IllegalArgumentException](table.rollbackTo(goodV))
+  }
+
   test("suggestBuckets: power-of-two sizing from live rows, clamped") {
     import LakeTable.suggestBuckets
     assert(suggestBuckets(0L) == 16) // min clamp

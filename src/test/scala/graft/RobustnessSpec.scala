@@ -208,6 +208,46 @@ class RobustnessSpec extends AnyFunSuite {
     assert(mixed.sameElements(expect.take(1)))
   }
 
+  test("readUpdatedSince zone-map-prunes cold buckets and matches the unpruned filter") {
+    // incremental state export: per-file (minLsn, maxLsn) manifest stats
+    // bound each bucket's _lsn domain, so buckets untouched since the
+    // threshold are skipped without touching storage (asserted on
+    // df.inputFiles); hot buckets resolve last-wins in full.
+    val dir = tmpDir("graft-updsince")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 32)
+    val cfg = GenConfig(nEvents = 6000, nDocs = 2000, nShards = 4)
+    BatchApply.apply(table, ChangeLogGen.events(spark, cfg, 0, 5000), batchId = 0)
+    // batch 1: a narrow slice of keys (few buckets touched)
+    BatchApply.apply(table,
+      ChangeLogGen.events(spark, cfg, 5000, 6000)
+        .filter(pmod(xxhash64(col("doc_id")), lit(50)) === 0),
+      batchId = 1)
+    val since = 5000L
+
+    val got = table.readUpdatedSince(since)
+    val expect = table.readResolved(None, None)
+      .filter(col(LakeTable.LsnCol) >= since && !col(LakeTable.DeletedCol))
+      .withColumnRenamed(LakeTable.LsnCol, "last_lsn").drop(LakeTable.DeletedCol)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+    // every returned row's watermark respects the threshold
+    assert(got.filter(col("last_lsn") < since).count() == 0)
+
+    // pruning: only buckets holding a file with maxLsn >= since are read
+    val hot = table.current.files.filter(_.maxLsn >= since).map(_.bucket).toSet
+    val all = table.current.files.map(_.bucket).toSet
+    assert(hot.size < all.size, s"fixture defect: batch 1 touched all ${all.size} buckets")
+    def bucketOf(path: String): Int =
+      path.split('/').find(_.startsWith("bucket=")).get.stripPrefix("bucket=").toInt
+    val scanned = got.inputFiles.map(bucketOf).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(hot),
+      s"scanned buckets $scanned not within hot set $hot")
+
+    // checkpoint contract: exporting from (prevMax + 1) yields nothing new
+    val prevMax = got.agg(max(col("last_lsn"))).head().getLong(0)
+    assert(table.readUpdatedSince(prevMax + 1).count() == 0)
+  }
+
   test("compressed CSV reads (full codec family) match the uncompressed source") {
     // UnstructuredStorageReaderUtil.java:117-160 decompresses zip, gzip,
     // bzip2, lzo, lzo_deflate, hadoop-snappy and framing-snappy streams.
