@@ -85,8 +85,21 @@ object Replay {
       if (LakeTable.exists(spark, tableDir)) LakeTable.load(spark, tableDir)
       else createTable(spark, tableDir, nBuckets)
 
+    // Envelope logs can carry malformed lines (parse -> null-key/null-op
+    // rows); without routing those would flow INTO the merge and write a
+    // null-doc_id row — silent table pollution. So a debezium replay
+    // with no explicit dirty-handling config gets errorLimit.record=0:
+    // the first malformed line fails the job loudly, and the user opts
+    // into tolerance via quarantineDir/errorLimit exactly like any
+    // other dirty source. Typed parquet logs keep routing fully opt-in
+    // (their source schema already enforces well-formed rows).
+    val effLimit =
+      if (logFormat == "debezium" && quarantineDir.isEmpty &&
+        errorLimit.record < 0 && errorLimit.percentage.isNaN)
+        graft.apply.DirtyRouter.ErrorLimit(record = 0)
+      else errorLimit
     val routeDirty = quarantineDir.isDefined ||
-      errorLimit.record >= 0 || !errorLimit.percentage.isNaN
+      effLimit.record >= 0 || !effLimit.percentage.isNaN
 
     val listener = metrics.map { m =>
       val l = new ReplayListener(m)
@@ -142,7 +155,7 @@ object Replay {
         val split =
           if (fenced || !routeDirty) None
           else Some(graft.apply.DirtyRouter.route(
-            transform(raw), batchId, quarantineDir, errorLimit))
+            transform(raw), batchId, quarantineDir, effLimit))
         var admission: Option[graft.operators.LshIndex.Admission] = None
         var canonicalCache: Option[DataFrame] = None
         try {
@@ -234,7 +247,7 @@ object Replay {
     // job-END percentage check (the run completed — a simulated kill is
     // not a job end, and the resumed run re-counts from its own start)
     if (!killed && routeDirty)
-      graft.apply.DirtyRouter.checkFinal(cumClean, cumDirty, errorLimit)
+      graft.apply.DirtyRouter.checkFinal(cumClean, cumDirty, effLimit)
     table
   }
 

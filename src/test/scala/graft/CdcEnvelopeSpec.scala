@@ -75,6 +75,34 @@ class CdcEnvelopeSpec extends AnyFunSuite {
     assert(reasons.contains("unknown_op")) // op "x"
   }
 
+  test("envelope replay fails loudly on a malformed line unless dirty handling is configured") {
+    import spark.implicits._
+    val d = tmpDir("graft-dbz-dirty")
+    val good = CdcEnvelope.toEnvelope(ChangeLogGen.events(spark, cfg, 0, 100))
+      .collect().map(_.getString(0))
+    val fs = FileSystem.get(new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$d/log"))
+    val lines = good :+ "{ not json at all"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/log/seg-00000.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    // default: errorLimit.record=0 is implied for envelope logs — the
+    // malformed line fails the job instead of polluting the table
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replay.replay(spark, s"$d/log", s"$d/t1", s"$d/cp1",
+        nBuckets = 4, logFormat = "debezium")
+    }
+    assert(Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[graft.apply.DirtyRouter.ErrorLimitExceeded]))
+
+    // opt-in quarantine: the bad line lands in quarantine, good rows apply
+    val table = Replay.replay(spark, s"$d/log", s"$d/t2", s"$d/cp2",
+      nBuckets = 4, logFormat = "debezium", quarantineDir = Some(s"$d/q"))
+    assert(table.read().count() > 0)
+    val q = spark.read.parquet(s"$d/q")
+    assert(q.count() == 1 && q.select("_reason").head().getString(0) == "null_or_empty_doc_id")
+  }
+
   test("replaying an envelope log equals replaying the parquet log") {
     val d = tmpDir("graft-dbz-replay")
     // parquet form
