@@ -190,10 +190,10 @@ object Bench {
       // lake+changelog, the q70 rebucket pair, the q77 ANN index, the
       // q78 evolution lake) — build them here so their timed numbers
       // measure the declared READ path, not one-time setup
-      Seq("q25_csv_source", "q56_json_source", "q62_lake_changelog",
-          "q67_orc_source", "q69_exif_prune", "q70_rebucket",
-          "q77_ann_index_probe", "q78_schema_evolution",
-          "q80_stream_replay").foreach { q =>
+      Seq("q25_csv_source", "q45_lsh_index_probe", "q56_json_source",
+          "q62_lake_changelog", "q67_orc_source", "q69_exif_prune",
+          "q70_rebucket", "q77_ann_index_probe", "q78_schema_evolution",
+          "q80_stream_replay", "q81_cdc_envelope").foreach { q =>
         try SparkEntry.queries(q)(spark1, sfDir).count()
         catch { case _: Throwable => () }
       }
