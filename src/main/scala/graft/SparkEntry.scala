@@ -1090,7 +1090,19 @@ object SparkEntry {
       graft.lake.LakeTable.load(s, s"$root/table").readUpdatedSince(mid + 1)
         .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
           col("n_tok"), col("source"), col("lang"), col("last_lsn"))
-    })
+    }),
+
+    // CORPUS TOKENIZATION (raw text -> token-id sequences, the step
+    // that produces this engine's input payload): corpus-derived vocab
+    // (top-16 words, vocabTopK tie rule) as a PLAN-LITERAL map +
+    // hash-bucket OOV — the encode is one scan-fused projection, zero
+    // joins/shuffles; vocabSize=16 on the 31-word synthetic corpus so
+    // the OOV arm is genuinely exercised and oracle-checked
+    "q83_tokenize" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenize(
+          t(s, dir, "documents"), vocabSize = 16, oovBuckets = 32)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"),
+          concat_ws(",", col("tokens")).as("tokens_csv")))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1667,6 +1679,9 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, tokens_csv, n_tok, source, lang, lsn AS last_lsn
-        |FROM w, b WHERE rn = 1 AND op <> 'D' AND lsn > b.mid""".stripMargin
+        |FROM w, b WHERE rn = 1 AND op <> 'D' AND lsn > b.mid""".stripMargin,
+
+    "q83_tokenize" ->
+      graft.operators.TextAnalysis.tokenizeSql("documents", vocabSize = 16, oovBuckets = 32)
   )
 }

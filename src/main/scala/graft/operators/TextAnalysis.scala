@@ -238,6 +238,58 @@ object TextAnalysis {
        |FROM (SELECT unnest(regexp_extract_all(lower(text), '$BpePattern')) AS token FROM $tbl)
        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT $k""".stripMargin
 
+  /** CORPUS TOKENIZATION — the upstream step that PRODUCES the engine's
+    * `(doc_id, tokens)` sequences from raw text: word ids
+    * `0..vocabSize-1` are the top-`vocabSize` corpus words by
+    * (count desc, word asc) — exactly the [[vocabTopK]] set and tie
+    * rule, so the vocab is deterministic — and out-of-vocabulary words
+    * hash to `vocabSize + hash60(word) % oovBuckets` (the fixed OOV-
+    * bucket scheme of hash-trick tokenizers; [[Portable.hash60]] keeps
+    * the oracle bit-identical).
+    *
+    * Scale shape, in two phases: (1) the vocab aggregation is the ONLY
+    * exchange — count partials are map-side-combined and the top-k is
+    * k-bounded on every level (TakeOrderedAndProject), then collected
+    * (≤ vocabSize rows, the bounded-collect discipline of
+    * `kmeansCentroids`) into a PLAN-LITERAL lookup map; (2) the encode
+    * is one projection fused into the scan — `transform(words, w ->
+    * coalesce(map[w], oov(w)))` with the literal map, zero joins, zero
+    * shuffles, so a 100 TB corpus tokenizes at scan speed and a doc's
+    * ids are a pure function of (text, vocab) — re-shard-stable. A
+    * subword/BPE tokenizer swaps the word split for a merge walk; the
+    * vocab-literal + scan-fused-encode shape is the same. */
+  def tokenize(docs: DataFrame, vocabSize: Int, oovBuckets: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabSize)
+      .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }
+    val m = map(vocab.flatMap { case (w, i) => Seq(lit(w), lit(i)) }.toIndexedSeq: _*)
+    docs.select(col("doc_id"),
+      transform(split(col("text"), " "), w =>
+        coalesce(element_at(m, w),
+          (lit(vocabSize) + pmod(Portable.hash60(w), lit(oovBuckets.toLong))).cast("int")))
+        .as("tokens"))
+  }
+
+  /** DuckDB oracle for [[tokenize]] rendered per doc as (n_tok,
+    * tokens_csv) — the vocab CTE mirrors the same count/tie rule and
+    * the OOV arm mirrors hash60 (`('0x' || substr(md5(w),1,15))::BIGINT`). */
+  def tokenizeSql(tbl: String, vocabSize: Int, oovBuckets: Int): String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |                  generate_subscripts(string_split(text, ' '), 1) AS pos
+       |           FROM $tbl),
+       |v AS (SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC) - 1 AS id
+       |      FROM w GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT $vocabSize),
+       |t AS (SELECT w.doc_id, w.pos,
+       |             coalesce(v.id, $vocabSize +
+       |               ('0x' || substr(md5(w.word), 1, 15))::BIGINT % $oovBuckets)::BIGINT AS tok
+       |      FROM w LEFT JOIN v USING (word))
+       |SELECT doc_id, count(*)::BIGINT AS n_tok,
+       |       string_agg(tok, ',' ORDER BY pos) AS tokens_csv
+       |FROM t GROUP BY doc_id""".stripMargin
+
   /** Deterministic stratified CORPUS MIXING — the "data mixture" step
     * that reweights sources before training (upsample wiki, downsample
     * crawl): each document is kept iff `hash32('mix#'||source||':'||

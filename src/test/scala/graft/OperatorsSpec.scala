@@ -1102,4 +1102,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served.sameElements(memory),
       "learned-book probe diverged from in-memory training (meta round-trip lossy?)")
   }
+
+  test("tokenize: scan-fused encode (no shuffle), ids stable across re-shards, OOV in range") {
+    val out = TextAnalysis.tokenize(docs, vocabSize = 16, oovBuckets = 32)
+    // the ENCODE stage is one projection riding the scan — the only
+    // exchange in the whole op lives in the (bounded, collected) vocab agg
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize encode must not shuffle:\n$plan")
+    val a = out.orderBy("doc_id").collect()
+    // a doc's ids are a pure function of (text, vocab): re-sharding the
+    // input must not move a single id (what makes the op resumable and
+    // cluster-size-independent at 10^10 docs)
+    val b = TextAnalysis.tokenize(docs.repartition(7), 16, 32).orderBy("doc_id").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    // every id in [0, 16 + 32); both arms exercised on this corpus
+    val ids = a.flatMap(_.getSeq[Int](1))
+    assert(ids.forall(i => i >= 0 && i < 48))
+    assert(ids.exists(_ < 16) && ids.exists(_ >= 16),
+      "fixture must exercise both the vocab and the OOV arm")
+    // token counts conserve the word counts
+    assert(ids.length == docs.select(sum(size(split(col("text"), " ")))).head().getLong(0))
+  }
 }
