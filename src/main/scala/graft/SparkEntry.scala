@@ -1102,7 +1102,20 @@ object SparkEntry {
       graft.operators.TextAnalysis.tokenize(
           t(s, dir, "documents"), vocabSize = 16, oovBuckets = 32)
         .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"),
-          concat_ws(",", col("tokens")).as("tokens_csv")))
+          concat_ws(",", col("tokens")).as("tokens_csv"))),
+
+    // §2.1 size-bounded chunk split (mongo splitVector analog): chunk
+    // boundaries every maxChunkBytes of key-ordered payload, computed
+    // with the exactNtile two-stage discipline (no global window);
+    // rendered as per-chunk extents so the contract (contiguous ranges,
+    // bounded payloads) is what the oracle checks
+    "q84_byte_chunk_split" -> ((s, dir) =>
+      graft.operators.Split.byteChunkSplit(
+          t(s, dir, "documents"), col("doc_id"), col("n_chars"),
+          maxChunkBytes = 4096)
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("bytes")).as("chunk_bytes"),
+          min(col("k")).as("lo"), max(col("k")).as("hi")))
   )
 
   /** DuckDB-runnable ANSI SQL oracles (column names matched 1:1). */
@@ -1682,6 +1695,15 @@ object SparkEntry {
         |FROM w, b WHERE rn = 1 AND op <> 'D' AND lsn > b.mid""".stripMargin,
 
     "q83_tokenize" ->
-      graft.operators.TextAnalysis.tokenizeSql("documents", vocabSize = 16, oovBuckets = 32)
+      graft.operators.TextAnalysis.tokenizeSql("documents", vocabSize = 16, oovBuckets = 32),
+
+    "q84_byte_chunk_split" ->
+      """WITH x AS (SELECT doc_id::BIGINT AS k, n_chars::BIGINT AS bytes FROM documents),
+        |c AS (SELECT k, bytes,
+        |             ((sum(bytes) OVER (ORDER BY k) - bytes) // 4096)::BIGINT AS chunk_id
+        |      FROM x)
+        |SELECT chunk_id, count(*) AS n_rows, sum(bytes)::BIGINT AS chunk_bytes,
+        |       min(k) AS lo, max(k) AS hi
+        |FROM c GROUP BY chunk_id""".stripMargin
   )
 }

@@ -78,6 +78,51 @@ object Split {
     ranged.withColumn("tile", tile).select(col("k"), col("tile"))
   }
 
+  /** SIZE-BOUNDED CHUNK SPLIT — the mongoreader splitVector analog
+    * (reference `mongodbreader/.../CollectionSplitUtil.java:40-129`
+    * asks mongos for chunk boundaries at every `maxChunkSize` bytes of
+    * key-ordered data; here the boundaries are computed exactly from a
+    * byte-size column): each UNIQUE key gets
+    * `chunk_id = floor(cumulativeBytesBefore(key) / maxChunkBytes)` —
+    * contiguous key ranges, every chunk's payload ≤ maxChunkBytes plus
+    * at most the one row that crosses the boundary (splitVector's own
+    * contract), an oversized single row gets its own chunk.
+    *
+    * The cumulative sum uses NO global window (the single-task sort
+    * trap) — the [[exactNtile]] discipline: approxQuantile-seeded
+    * coarse ranges keep every range balanced under clustered domains;
+    * per-range byte totals fold to driver offsets (≤ coarseRanges
+    * rows); the running sum windows WITHIN each range in parallel and
+    * adds the range's offset. Returns (k = key, bytes, chunk_id). */
+  def byteChunkSplit(df: DataFrame, key: Column, bytes: Column, maxChunkBytes: Long,
+      coarseRanges: Int = 64): DataFrame = {
+    require(maxChunkBytes > 0, "byteChunkSplit: maxChunkBytes must be positive")
+    val keyed = df.select(key.cast("long").as("k"), bytes.cast("long").as("bytes"))
+    val probs = (0 to coarseRanges).map(_.toDouble / coarseRanges).toArray
+    val qs = keyed.stat.approxQuantile("k", probs, 0.001)
+    require(qs.nonEmpty, "byteChunkSplit: empty input")
+    val bounds = qs.slice(1, coarseRanges).map(_.toLong).distinct.sorted
+    val ranged = keyed.withColumn("range_id",
+      bounds.map(b => (col("k") >= b).cast("long")).reduceOption(_ + _).getOrElse(lit(0L)))
+
+    // per-range byte totals -> cumulative offsets (driver: <= coarseRanges rows)
+    val totals = ranged.groupBy(col("range_id")).agg(sum(col("bytes")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = totals.keys.toSeq.sorted.map { id => val o = acc; acc += totals(id); id -> o }
+    val offMap = map(offsets.flatMap { case (id, o) => Seq(lit(id), lit(o)) }: _*)
+
+    // running bytes BEFORE each key = range offset + inclusive running
+    // sum - own bytes; floor of a double division over byte totals
+    // (far below 2^53) == integer division, matching the oracle's `//`
+    val w = Window.partitionBy(col("range_id")).orderBy(col("k"))
+    val cumBefore = element_at(offMap, col("range_id")) +
+      sum(col("bytes")).over(w) - col("bytes")
+    ranged
+      .withColumn("chunk_id", floor(cumBefore / lit(maxChunkBytes.toDouble)).cast("long"))
+      .select(col("k"), col("bytes"), col("chunk_id"))
+  }
+
   /** Base-128 positional value of the `chars` characters following a
     * fixed prefix of length `prefixLen` (1-based positions prefixLen+1..
     * prefixLen+chars). Characters past end-of-string contribute 0

@@ -1103,6 +1103,37 @@ class OperatorsSpec extends AnyFunSuite {
       "learned-book probe diverged from in-memory training (meta round-trip lossy?)")
   }
 
+  test("byteChunkSplit: exact boundaries, contiguous ranges, oversized row isolated") {
+    import spark.implicits._
+    // clustered key domain (stresses the approxQuantile-seeded coarse
+    // ranges) + one oversized row that must take a chunk of its own
+    val rows = ((1L to 400L).map(k => (k, 50L + k % 7)) ++
+      (100000L to 100400L).map(k => (k, if (k == 100200L) 9999L else 60L))).toSeq
+    val df = rows.toDF("key", "sz").repartition(7)
+    val out = graft.operators.Split.byteChunkSplit(
+      df, col("key"), col("sz"), maxChunkBytes = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: single-threaded running sum in key order
+    var cum = 0L
+    val ref = rows.sortBy(_._1).map { case (k, b) =>
+      val c = cum / 1000; cum += b; (k, b, c)
+    }
+    assert(out.sortBy(_._1).toSeq == ref, "chunk ids diverge from the sequential reference")
+    // contract shape: chunks cover contiguous, non-overlapping key ranges
+    val extents = out.groupBy(_._3).map { case (c, rs) =>
+      (c, rs.map(_._1).min, rs.map(_._1).max)
+    }.toSeq.sortBy(_._1)
+    assert(extents.sliding(2).forall {
+      case Seq((_, _, hi), (_, lo, _)) => hi < lo
+      case _ => true
+    })
+    // the oversized row fills ~10 chunk budgets on its own: the next
+    // key's chunk jumps past all of them (no chunk splits a row)
+    val bigChunk = out.find(_._1 == 100200L).get._3
+    val nextChunk = out.find(_._1 == 100201L).get._3
+    assert(nextChunk >= bigChunk + 9, s"expected jump, got $bigChunk -> $nextChunk")
+  }
+
   test("tokenize: scan-fused encode (no shuffle), ids stable across re-shards, OOV in range") {
     val out = TextAnalysis.tokenize(docs, vocabSize = 16, oovBuckets = 32)
     // the ENCODE stage is one projection riding the scan — the only
