@@ -52,6 +52,16 @@ object SparkEntry {
     * keyed by source dir. */
   private val streamFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q85's fixed BPE merge rules + base alphabet — the output of
+    * `TextAnalysis.bpeTrain(documents@sf0.01, 8)` frozen as literals
+    * (the PQ fixed-books discipline: the encoder runs under the exact
+    * vocabulary its model was trained with; chars outside the alphabet
+    * take the OOV arm, so the query is value-exact at every SF). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+  private val BpeAlphabet: Seq[String] = "abcdefghijklmnopqrstuvwy".map(_.toString)
+
   /** Flagship: the CDC engine end-to-end at test scale — generate a
     * deterministic change log to disk, STREAM-replay it (Structured
     * Streaming, multi-batch, checkpointed) into a LakeTable with
@@ -1104,6 +1114,20 @@ object SparkEntry {
         .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"),
           concat_ws(",", col("tokens")).as("tokens_csv"))),
 
+    // SUBWORD (BPE) TOKENIZATION under FIXED merge rules (the serving
+    // path: an encoder must run under the exact vocabulary its model
+    // was trained with, so merges/alphabet are plan literals — the
+    // PQ fixed-books discipline; graft.operators.TextAnalysis.bpeTrain
+    // LEARNS such rules and is spec-tested for determinism). The merge
+    // walk is 8 nested literal replaces fused into the scan projection;
+    // chars absent from the literal alphabet land in the OOV arm, so
+    // the query stays value-exact at every SF
+    "q85_bpe_encode" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeEncode(
+          t(s, dir, "documents"), BpeMerges, BpeAlphabet, oovBuckets = 32)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"),
+          concat_ws(",", col("tokens")).as("tokens_csv"))),
+
     // §2.1 size-bounded chunk split (mongo splitVector analog): chunk
     // boundaries every maxChunkBytes of key-ordered payload, computed
     // with the exactNtile two-stage discipline (no global window);
@@ -1696,6 +1720,9 @@ object SparkEntry {
 
     "q83_tokenize" ->
       graft.operators.TextAnalysis.tokenizeSql("documents", vocabSize = 16, oovBuckets = 32),
+
+    "q85_bpe_encode" ->
+      graft.operators.TextAnalysis.bpeEncodeSql("documents", BpeMerges, BpeAlphabet, 32),
 
     "q84_byte_chunk_split" ->
       """WITH x AS (SELECT doc_id::BIGINT AS k, n_chars::BIGINT AS bytes FROM documents),

@@ -290,6 +290,140 @@ object TextAnalysis {
        |       string_agg(tok, ',' ORDER BY pos) AS tokens_csv
        |FROM t GROUP BY doc_id""".stripMargin
 
+  /** Space-canvas form of a text for the BPE merge walk: every
+    * character becomes `char + ' '`, with one leading space, so every
+    * symbol occurrence is exactly `' sym '`-delimited and a merge
+    * `(a, b)` is ONE literal `replace(' a b ' -> ' ab ')`. The text's
+    * own space characters double up into a `'   '` (3-space) run the
+    * single-space merge pattern can never match across — word
+    * boundaries are enforced by construction, no end-of-word marker
+    * bookkeeping. Both engines scan left-to-right non-overlapping
+    * (`' a a a '` -> `' aa a '` verified identical), so the walk is
+    * deterministic and oracle-exact. */
+  def bpeCanvas(text: Column): Column =
+    concat(lit(" "), regexp_replace(text, "(.)", "$1 "))
+
+  /** The corpus base alphabet: distinct characters, sorted, bounded by
+    * `cap` (the collect is ≤ charset-size rows — the bounded-collect
+    * discipline of `tokenize`'s vocab). Ids `0..A-1` in sorted order. */
+  def bpeAlphabet(docs: DataFrame, cap: Int = 256): Seq[String] =
+    docs.select(explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= " ").distinct()
+      .orderBy(col("ch")).limit(cap)
+      .collect().map(_.getString(0)).toIndexedSeq
+
+  /** BPE TRAINING — learn `nMerges` merge rules from the corpus, the
+    * standard top-pair iteration (Sennrich et al. 2016): each round
+    * counts ADJACENT SYMBOL PAIRS over the current canvases (one
+    * map-side-combined aggregation; pairs from a zip of the symbol
+    * array with its own tail — no self-join), picks the most frequent
+    * pair (count desc, pair asc — total order, so training is
+    * deterministic), rewrites every canvas with that one merge, and
+    * repeats. Each round's state is rebased via [[Mat.materializeIter]]
+    * (k rounds would otherwise nest k replaces into one
+    * ever-re-analyzed plan), and the per-round driver traffic is ONE
+    * row (the winning pair). Work per round is one corpus pass —
+    * training cost is nMerges passes, the textbook shape. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var canv = Mat.materializeIter(
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .select(bpeCanvas(col("w")).as("c")))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val syms = split(trim(col("c")), " ")
+      val top = canv
+        .select(explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("a"),
+          slice(syms, lit(2), size(syms) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val prev = canv
+        canv = Mat.materializeIter(
+          prev.select(replace(col("c"), lit(s" $a $b "), lit(s" $a$b ")).as("c")))
+        canv.count() // force before releasing the previous round
+        prev.unpersist(false)
+      }
+    }
+    canv.unpersist(false)
+    merges.toIndexedSeq
+  }
+
+  /** BPE ENCODE — subword tokenization under a FIXED merge list (the
+    * production serving path; [[bpeTrain]] learns the list, but an
+    * encoder must run under the exact vocabulary its model was trained
+    * with, so merges/alphabet arrive as arguments and become PLAN
+    * LITERALS — the `tokenize` discipline, which is also what makes
+    * the DuckDB oracle value-exact).
+    *
+    * Scale shape: the whole merge walk is `nMerges` nested literal
+    * `replace` calls on the doc-level canvas — codegen'd string ops
+    * fused into ONE scan-task projection; the only interpreted step is
+    * the final symbol→id lookup HOF (same as `tokenize`). Zero joins,
+    * zero shuffles (spec-asserted); ids are a pure function of
+    * (text, merges, alphabet) — re-shard-stable. Ids: alphabet chars
+    * `0..A-1` (sorted), merge symbol i `A+i` (first-wins when two
+    * merge paths produce the same surface string), OOV symbols hash to
+    * `A+M + hash60(sym) % oovBuckets`. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      alphabet: Seq[String], oovBuckets: Int): DataFrame = {
+    val merged = merges.foldLeft(bpeCanvas(col("text"))) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val base = alphabet.size + merges.size
+    val vocab = bpeVocab(merges, alphabet)
+    val m = map(vocab.flatMap { case (s, i) => Seq(lit(s), lit(i)) }.toIndexedSeq: _*)
+    docs.select(col("doc_id"),
+      transform(split(trim(merged), " +"), s =>
+        coalesce(element_at(m, s),
+          (lit(base) + pmod(Portable.hash60(s), lit(oovBuckets.toLong))).cast("int")))
+        .as("tokens"))
+  }
+
+  /** Symbol→id table: sorted alphabet first, then merge symbols in
+    * merge order; first occurrence wins on surface-string collisions
+    * (two merge paths can produce the same string). */
+  def bpeVocab(merges: Seq[(String, String)], alphabet: Seq[String]): Seq[(String, Int)] = {
+    val all = alphabet.sorted.zipWithIndex ++
+      merges.zipWithIndex.map { case ((a, b), i) => (a + b, alphabet.size + i) }
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    all.foreach { case (s, i) => if (!seen.contains(s)) seen += s -> i }
+    seen.toIndexedSeq
+  }
+
+  /** DuckDB oracle for [[bpeEncode]], rendered per doc as (n_tok,
+    * tokens_csv): the same literal merge chain (`replace` nesting), the
+    * same `' +'` split, the vocab as a VALUES join, the OOV arm as the
+    * inline md5-prefix hash60. */
+  def bpeEncodeSql(tbl: String, merges: Seq[(String, String)],
+      alphabet: Seq[String], oovBuckets: Int): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val chain = merges.foldLeft(s"' ' || regexp_replace(text, '(.)', '\\1 ', 'g')") {
+      case (c, (a, b)) => s"replace($c, ' ${esc(a)} ${esc(b)} ', ' ${esc(a + b)} ')"
+    }
+    val base = alphabet.size + merges.size
+    val values = bpeVocab(merges, alphabet)
+      .map { case (s, i) => s"('${esc(s)}', $i)" }.mkString(", ")
+    s"""WITH c AS (SELECT doc_id, $chain AS canv FROM $tbl),
+       |s AS (SELECT doc_id,
+       |             unnest(regexp_split_to_array(trim(canv), ' +')) AS sym,
+       |             generate_subscripts(regexp_split_to_array(trim(canv), ' +'), 1) AS pos
+       |      FROM c),
+       |t AS (SELECT s.doc_id, s.pos,
+       |             coalesce(v.id, $base +
+       |               ('0x' || substr(md5(s.sym), 1, 15))::BIGINT % $oovBuckets)::BIGINT AS tok
+       |      FROM s LEFT JOIN (VALUES $values) v(sym, id) ON s.sym = v.sym)
+       |SELECT doc_id, count(*)::BIGINT AS n_tok,
+       |       string_agg(tok, ',' ORDER BY pos) AS tokens_csv
+       |FROM t GROUP BY doc_id""".stripMargin
+  }
+
   /** Deterministic stratified CORPUS MIXING — the "data mixture" step
     * that reweights sources before training (upsample wiki, downsample
     * crawl): each document is kept iff `hash32('mix#'||source||':'||

@@ -1103,6 +1103,45 @@ class OperatorsSpec extends AnyFunSuite {
       "learned-book probe diverged from in-memory training (meta round-trip lossy?)")
   }
 
+  test("bpeEncode: scan-fused, lossless segmentation, re-shard stable, ids in range") {
+    val merges = Seq("e" -> "r", "i" -> "n", "s" -> "t", "a" -> "t")
+    val alpha = "abcdefghijklmnopqrstuvwy".map(_.toString)
+    val out = TextAnalysis.bpeEncode(docs, merges, alpha, oovBuckets = 32)
+    // the whole merge walk + id lookup is one scan-task projection
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpe encode must not shuffle:\n$plan")
+    val a = out.orderBy("doc_id").collect()
+    val b = TextAnalysis.bpeEncode(docs.repartition(5), merges, alpha, 32)
+      .orderBy("doc_id").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "ids moved under re-shard")
+    val base = alpha.size + merges.size
+    val ids = a.flatMap(_.getSeq[Int](1))
+    assert(ids.forall(i => i >= 0 && i < base + 32))
+    assert(ids.exists(i => i >= alpha.size && i < base), "no merge symbol ever produced")
+    // lossless segmentation: concatenating each doc's symbols restores
+    // its text minus spaces (no char lost, no merge across a boundary)
+    val vocab = TextAnalysis.bpeVocab(merges, alpha).map(_.swap).toMap
+    val texts = docs.orderBy("doc_id").select("text").collect().map(_.getString(0))
+    a.map(_.getSeq[Int](1).map(vocab).mkString).zip(texts).foreach { case (joined, t) =>
+      assert(joined == t.replace(" ", ""), s"lossy segmentation for: $t")
+    }
+  }
+
+  test("bpeTrain: deterministic, merges reduce token count, encode stays oracle-shaped") {
+    val m1 = TextAnalysis.bpeTrain(docs, nMerges = 4)
+    val m2 = TextAnalysis.bpeTrain(docs, nMerges = 4)
+    assert(m1 == m2, "training must be deterministic")
+    assert(m1.size == 4)
+    val alpha = TextAnalysis.bpeAlphabet(docs)
+    def total(ms: Seq[(String, String)]): Long =
+      TextAnalysis.bpeEncode(docs, ms, alpha, 32)
+        .select(sum(size(col("tokens")))).head().getLong(0)
+    // each learned merge collapses >= 1 occurrence, and greedy top-pair
+    // training must never increase the corpus token count
+    val (chars, merged) = (total(Nil), total(m1))
+    assert(merged < chars, s"merges did not reduce tokens: $chars -> $merged")
+  }
+
   test("byteChunkSplit: exact boundaries, contiguous ranges, oversized row isolated") {
     import spark.implicits._
     // clustered key domain (stresses the approxQuantile-seeded coarse
