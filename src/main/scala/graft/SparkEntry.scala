@@ -48,6 +48,10 @@ object SparkEntry {
     * PROBE path, not the one-time index build. */
   private val annIdxFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q86's churned ANN index roots (build + tombstoned deletes), keyed
+    * by source dir. */
+  private val annDelFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q80's streamed-replay fixture roots (log + table + checkpoint),
     * keyed by source dir. */
   private val streamFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -916,6 +920,27 @@ object SparkEntry {
         k = 5, shortlist = 50, nProbe = 4)
     }),
 
+    // ANN INDEX UNDER CHURN: the delete half of index maintenance —
+    // vectors leave as tombstone markers (LSM discipline) that the
+    // probe prunes with a static pushed filter (never an extra join on
+    // the DPP-fragile postings plan) until compact reclaims them; the
+    // served top-k must be value-identical to an index that never held
+    // the deleted vectors, which is exactly what the oracle computes
+    // (corpus restricted to the live ids)
+    "q86_ann_index_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = annDelFixtures.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft-anndel").toString
+        graft.operators.AnnIndex.build(e, p, cells = 16, m = 16, ksub = 16, dim = 64)
+        graft.operators.AnnIndex.delete(
+          e.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p)
+        p
+      })
+      graft.operators.AnnIndex.probe(
+        e.filter(col("vec_id") % 100 === 0 && col("vec_id") % 7 =!= 3), path,
+        k = 5, shortlist = 50, nProbe = 4)
+    }),
+
     // MID-STREAM SCHEMA EVOLUTION through the real engine — the north
     // rule's additive path (new nullable column + int32->int64 widening)
     // as an oracle-checked replay, not just a spec: batch 0 applies
@@ -1637,6 +1662,13 @@ object SparkEntry {
     "q77_ann_index_probe" ->
       graft.operators.Similarity.ivfPqTopKSql("vec_id % 100 = 0", k = 5,
         shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64),
+
+    // q86: the same probe stack over the corpus MINUS the deleted ids —
+    // the tombstoned index must serve exactly this
+    "q86_ann_index_delete" ->
+      graft.operators.Similarity.ivfPqTopKSql("vec_id % 100 = 0", k = 5,
+        shortlist = 50, cells = 16, nProbe = 4, m = 16, ksub = 16, dim = 64,
+        corpusWhere = "vec_id % 7 <> 3"),
 
     // q78: global last-wins over batch 0 (lsn <= mid, all keys) UNION
     // batch 1 (lsn > mid, only keys with doc_id % 5 = 0, carrying

@@ -92,6 +92,43 @@ object AnnIndex {
     writeStores(emb.dropDuplicates("vec_id"), path, meta, SaveMode.Append)
   }
 
+  /** Live tombstones between compactions must stay driver-collectable:
+    * the probe prunes them with a static NOT-IN filter pushed into the
+    * postings scan (a tombstone ANTI-JOIN was rejected — an extra join
+    * above the postings scan risks the same DPP fragility the vb
+    * formulation hit, while a pushed filter provably keeps the probe
+    * plan shape). Churn past this bound means [[compact]] is overdue. */
+  val MaxLiveTombstones = 100000
+
+  /** DELETE vectors from the index — the churn half of index
+    * maintenance (the LSM discipline: deletes are MARKERS, reclaimed at
+    * [[compact]]): `ids` (vec_id) rows append to a `tombstones/` store;
+    * every probe excludes tombstoned ids from the candidate postings
+    * until compaction physically drops their postings/vecs rows and
+    * clears the markers. CONTRACT (mirrors append's insert-only rule):
+    * a deleted id stays dead until the next compact — re-appending it
+    * earlier leaves the marker in force; after compact the id is free
+    * to re-enter as a fresh vector (spec-asserted). Single-writer per
+    * index path, as for append/compact. */
+  def delete(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).dropDuplicates("vec_id")
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** The live tombstone id set (empty when none) — bounded collect,
+    * cap-guarded by [[MaxLiveTombstones]]. */
+  private def liveTombstones(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val rows = spark.read.parquet(p.toString)
+      .select(col("vec_id")).dropDuplicates("vec_id")
+      .limit(MaxLiveTombstones + 1).collect()
+    require(rows.length <= MaxLiveTombstones,
+      s"index at $path holds > $MaxLiveTombstones live tombstones — run compact " +
+        "before further probes (the probe prunes tombstones driver-side)")
+    rows.map(_.getLong(0)).toIndexedSeq
+  }
+
   private def writeStores(emb: DataFrame, path: String, meta: Meta,
       mode: SaveMode): Unit = {
     val base = Similarity.withNorm(emb)
@@ -124,8 +161,16 @@ object AnnIndex {
     require(shortlist >= k, s"shortlist=$shortlist < k=$k")
     val a = Similarity.withNorm(anchors)
     val probes = Similarity.ivfPqProbes(a, meta.centroids, nProbe, meta.books, meta.dim)
-    val postings = spark.read.parquet(s"$path/postings")
+    // tombstone pruning: a static pushed filter on the postings scan
+    // (bounded id set — see MaxLiveTombstones), so deleted vectors can
+    // never crowd the ADC shortlist, and the plan shape (cell DPP +
+    // broadcast probes) is untouched
+    val dead = liveTombstones(spark, path)
+    val postings0 = spark.read.parquet(s"$path/postings")
       .select(col("vec_id"), col("cell"), col("codes"), col("nrm"))
+    val postings =
+      if (dead.isEmpty) postings0
+      else postings0.filter(!col("vec_id").isInCollection(dead))
     // phase 1: ADC shortlist, vb computed in the same job (the hash
     // MUST be the store's writer hash — computing it engine-side, not
     // driver-side, keeps the two definitionally identical)
@@ -155,19 +200,29 @@ object AnnIndex {
 
   /** Offline maintenance: rewrite both stores to ~one file per
     * partition dir (per-batch appends add one file set per touched dir
-    * per batch). Crash-healing swap via [[LshIndex.swapRewrite]]; not
+    * per batch), physically dropping tombstoned ids, then clear the
+    * tombstone markers. Crash-safe ordering: the store swaps land
+    * first ([[LshIndex.swapRewrite]] crash-heals), the marker clear
+    * last — a crash in between leaves markers whose rows are already
+    * gone, and the probe's NOT-IN prune is idempotent over them. Not
     * concurrent-safe with probe/append on the same index. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val dead = liveTombstones(spark, path)
+    def dropDead(df: DataFrame): DataFrame =
+      if (dead.isEmpty) df else df.filter(!col("vec_id").isInCollection(dead))
     LshIndex.swapRewrite(spark, s"$path/postings") { df =>
-      df.get.dropDuplicates("vec_id")
+      dropDead(df.get).dropDuplicates("vec_id")
         .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
     }
     LshIndex.swapRewrite(spark, s"$path/vecs") { df =>
-      df.get.dropDuplicates("vec_id")
+      dropDead(df.get).dropDuplicates("vec_id")
         .repartition(col("vb")).sortWithinPartitions("vb", "vec_id")
         .write.mode(SaveMode.Overwrite).partitionBy("vb")
     }
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   /** Data-file count across both stores (driver walk of the index dir

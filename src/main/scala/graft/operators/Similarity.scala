@@ -957,7 +957,7 @@ object Similarity {
     * the oracle mirror of [[ivfPqTopK]]'s inverted-file pruning,
     * rendered with the same cell/probe conventions as [[ivfTopKSql]]. */
   private def pqRecallCtes(anchorWhere: String, k: Int, m: Int, ksub: Int, dim: Int,
-      ivf: Option[(Int, Int)] = None): String = {
+      ivf: Option[(Int, Int)] = None, corpusWhere: String = "TRUE"): String = {
     val dsub = dim / m
     val books = pqCodebooks(m, ksub, dsub)
     def scoreList(s: Int): String = books(s).map { c =>
@@ -996,7 +996,7 @@ object Similarity {
          |  JOIN aprobe p ON pc.cell = p.cell
          |  JOIN ax a ON a.anchor_id = p.anchor_id AND c.vec_id <> a.anchor_id""".stripMargin
     else "FROM cd c JOIN ax a ON c.vec_id <> a.anchor_id"
-    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE $corpusWhere),
        |ax AS (SELECT vec_id AS anchor_id, emb AS aemb,
        |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS anrm
        |  FROM e0 WHERE $anchorWhere),
@@ -1044,8 +1044,9 @@ object Similarity {
     * [[ivfPqRecallSql]]; the exact-baseline CTEs it inherits are
     * unreferenced and pruned by the engine. */
   def ivfPqTopKSql(anchorWhere: String, k: Int, shortlist: Int, cells: Int,
-      nProbe: Int, m: Int, ksub: Int, dim: Int): String =
-    s"""WITH ${pqRecallCtes(anchorWhere, k, m, ksub, dim, Some((cells, nProbe)))},
+      nProbe: Int, m: Int, ksub: Int, dim: Int,
+      corpusWhere: String = "TRUE"): String =
+    s"""WITH ${pqRecallCtes(anchorWhere, k, m, ksub, dim, Some((cells, nProbe)), corpusWhere)},
        |cand AS (SELECT anchor_id, neighbor_id FROM rq WHERE rank <= $shortlist),
        |sr AS (SELECT c.anchor_id, c.neighbor_id, ${simSql("a.aemb", "e.emb")} AS sim
        |  FROM cand c JOIN e0 e ON e.vec_id = c.neighbor_id

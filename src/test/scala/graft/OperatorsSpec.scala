@@ -1082,6 +1082,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(postCompact.sameElements(preCompact), "compact changed served rows")
   }
 
+  test("ann index: deletes tombstone-pruned, reclaimed at compact, id reusable after") {
+    val (m, ksub, dim, k, shortlist, cells, nProbe) = (8, 8, 64, 5, 20, 8, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    val deadPred = col("vec_id") % 7 === 3
+    val anchors = emb.filter(col("vec_id") % 50 === 0 && !deadPred)
+    val dir = java.nio.file.Files.createTempDirectory("annidx-del").toString
+    AnnIndex.build(emb, dir, cells, m, ksub, dim)
+    AnnIndex.delete(emb.filter(deadPred).select("vec_id"), dir)
+    val served = rows(AnnIndex.probe(anchors, dir, k, shortlist, nProbe))
+    // 1. a deleted id is never served — not even as a shortlist crowd-out
+    assert(served.nonEmpty && served.forall(_._3 % 7 != 3))
+    // 2. tombstone pruning is EXACT: row-for-row equal to an index that
+    //    never contained the deleted vectors (same fixed books)
+    val dir2 = java.nio.file.Files.createTempDirectory("annidx-del2").toString
+    AnnIndex.build(emb.filter(!deadPred), dir2, cells, m, ksub, dim)
+    assert(rows(AnnIndex.probe(anchors, dir2, k, shortlist, nProbe)).sameElements(served),
+      "tombstone-pruned probe diverged from the rebuilt-without index")
+    // 3. compact physically reclaims: markers gone, served rows unchanged
+    AnnIndex.compact(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "compact must clear the tombstone markers")
+    assert(rows(AnnIndex.probe(anchors, dir, k, shortlist, nProbe)).sameElements(served),
+      "compact changed served rows")
+    // 4. after reclamation a deleted id may re-enter as a fresh vector
+    val backId = emb.filter(deadPred).agg(min(col("vec_id"))).head().getLong(0)
+    AnnIndex.append(emb.filter(col("vec_id") === backId), dir)
+    val withBack = rows(AnnIndex.probe(anchors, dir, k, shortlist, nProbe))
+    val dir3 = java.nio.file.Files.createTempDirectory("annidx-del3").toString
+    AnnIndex.build(emb.filter(!deadPred || col("vec_id") === backId), dir3,
+      cells, m, ksub, dim)
+    assert(rows(AnnIndex.probe(anchors, dir3, k, shortlist, nProbe)).sameElements(withBack),
+      "re-appended id after compact diverged from rebuild")
+  }
+
   test("ann index: learned centroids/books round-trip through meta exactly") {
     // build(learn=true) persists TRAINED centroids+codebooks in meta/;
     // a probe must equal the in-memory operator run with the same
