@@ -166,6 +166,29 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Hypervisor steal jiffies accumulated so far (field 9 of the
+    * aggregate cpu line in /proc/stat), -1 where unavailable. Steal is
+    * the one host-quality signal a guest can read directly; deltas
+    * around each rung make run-quality disclosure machine-readable
+    * instead of narrative (steal is strictly one-sided — it can only
+    * slow a run — so a rung with ~0 delta is a trustworthy sample). */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Exception => -1L }
+
+  /** Run `body`, returning (result, stealDeltaJiffies) — delta is -1
+    * when the counter is unavailable. */
+  private def withSteal[T](body: => T): (T, Long) = {
+    val s0 = stealJiffies()
+    val r = body
+    val s1 = stealJiffies()
+    (r, if (s0 < 0 || s1 < 0) -1L else s1 - s0)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "replay-one") {
       childReplay(args(1).toInt, args(2),
@@ -262,10 +285,10 @@ object Bench {
               sec
             }
         }
-      val att1 = measure(1, CriterionAttempts)
-      val att4 = measure(4, CriterionAttempts)
-      val att8 = measure(8)
-      val att32 = measure(32)
+      val (att1, steal1) = withSteal(measure(1, CriterionAttempts))
+      val (att4, steal4) = withSteal(measure(4, CriterionAttempts))
+      val (att8, steal8) = withSteal(measure(8))
+      val (att32, steal32) = withSteal(measure(32))
       // Per-rung time = best attempt, and the scaling criterion is the
       // ratio of bests: steal noise is strictly one-sided (a burst can
       // only slow a run), so the minimum is the consistent estimator of
@@ -385,10 +408,10 @@ object Bench {
         }.min
         (sec, dropped)
       }
-      val (dedupOffSec, _) = dedupReplay("off", None)
-      val (dedupOnSec, dedupDropped) = dedupReplay("on",
+      val ((dedupOffSec, _), stealDedupOff) = withSteal(dedupReplay("off", None))
+      val ((dedupOnSec, dedupDropped), stealDedupOn) = withSteal(dedupReplay("on",
         Some(graft.model.DedupSpec(s"$work/dx-index-on", threshold = 0.8,
-          n = 3, k = 16, bands = 4, maxBucketSize = 1000)))
+          n = 3, k = 16, bands = 4, maxBucketSize = 1000))))
 
       // insert-share sensitivity: the SAME replay shape on an
       // UPDATE-HEAVY log (10% inserts vs the default 60%) — admission is
@@ -446,7 +469,13 @@ object Bench {
         s""""dedup_events":$dedupEvents,"dedup_off_sec":${fmt(dedupOffSec)},""" +
         s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
         s""""dedup_upd_off_sec":${fmt(dedupUpdOffSec)},"dedup_upd_on_sec":${fmt(dedupUpdOnSec)},""" +
-        s""""changelog_on_sec":${fmt(changelogOnSec)}}"""
+        s""""changelog_on_sec":${fmt(changelogOnSec)},""" +
+        // machine-readable host quality: hypervisor-steal jiffy deltas
+        // around each noise-sensitive rung (-1 = counter unavailable);
+        // steal is strictly one-sided, so ~0 marks a trustworthy sample
+        s""""steal_jiffies_local1":$steal1,"steal_jiffies_local4":$steal4,""" +
+        s""""steal_jiffies_local8":$steal8,"steal_jiffies_local32":$steal32,""" +
+        s""""steal_jiffies_dedup_off":$stealDedupOff,"steal_jiffies_dedup_on":$stealDedupOn}"""
     }
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
