@@ -179,7 +179,11 @@ final case class DedupSpec(
     n: Int = 3,
     k: Int = 16,
     bands: Int = 4,
-    maxBucketSize: Int = 1000)
+    maxBucketSize: Int = 1000,
+    /** Fence the index for this run's writer (multi-writer safety —
+      * [[graft.lake.WriterLease]]); opting in makes the index refuse
+      * lease-less mutation from then on. */
+    lease: Boolean = false)
 
 /** One dx_* transformer binding (name + pre-bound parameters — the
   * analog of TransformerUtil.buildTransformerInfo). */
@@ -397,7 +401,8 @@ object JobSpec {
           n = num(o \ "n", 3).toInt,
           k = num(o \ "k", 16).toInt,
           bands = num(o \ "bands", 4).toInt,
-          maxBucketSize = num(o \ "maxBucketSize", 1000).toInt))
+          maxBucketSize = num(o \ "maxBucketSize", 1000).toInt,
+          lease = (o \ "lease") == JBool(true)))
         case _ => None
       },
       dryRun = (j \ "dryRun") == JBool(true) || (j \ "setting" \ "dryRun") == JBool(true))

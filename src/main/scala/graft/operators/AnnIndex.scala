@@ -65,8 +65,10 @@ object AnnIndex {
     * [[Similarity.pqTrainCodebooks]]); otherwise the fixed
     * oracle-checkable defaults are pinned. */
   def build(emb: DataFrame, path: String, cells: Int, m: Int, ksub: Int, dim: Int,
-      vbBuckets: Int = 32, learn: Boolean = false, iters: Int = 3): Unit = {
+      vbBuckets: Int = 32, learn: Boolean = false, iters: Int = 3,
+      lease: Option[graft.lake.WriterLease] = None): Unit = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.lake.WriterLease.guard(emb.sparkSession, path, lease)
     val centroids =
       if (learn) Similarity.kmeansCentroids(emb, cells, dim, iters)
       else Similarity.centroidWeights(cells, dim)
@@ -87,7 +89,9 @@ object AnnIndex {
     * CDC appends) — appending an existing id leaves two live postings
     * rows for it, and a probe would rank both; re-embedding is a
     * rebuild concern, not an append. */
-  def append(emb: DataFrame, path: String): Unit = {
+  def append(emb: DataFrame, path: String,
+      lease: Option[graft.lake.WriterLease] = None): Unit = {
+    graft.lake.WriterLease.guard(emb.sparkSession, path, lease)
     val meta = readMeta(emb.sparkSession, path)
     writeStores(emb.dropDuplicates("vec_id"), path, meta, SaveMode.Append)
   }
@@ -110,9 +114,12 @@ object AnnIndex {
     * earlier leaves the marker in force; after compact the id is free
     * to re-enter as a fresh vector (spec-asserted). Single-writer per
     * index path, as for append/compact. */
-  def delete(ids: DataFrame, path: String): Unit =
+  def delete(ids: DataFrame, path: String,
+      lease: Option[graft.lake.WriterLease] = None): Unit = {
+    graft.lake.WriterLease.guard(ids.sparkSession, path, lease)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+  }
 
   /** The live tombstone id set (empty when none) — bounded collect,
     * cap-guarded by [[MaxLiveTombstones]]. */
@@ -206,16 +213,19 @@ object AnnIndex {
     * last — a crash in between leaves markers whose rows are already
     * gone, and the probe's NOT-IN prune is idempotent over them. Not
     * concurrent-safe with probe/append on the same index. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      lease: Option[graft.lake.WriterLease] = None): Unit = {
+    graft.lake.WriterLease.guard(spark, path, lease)
+    val preSwap: () => Unit = () => graft.lake.WriterLease.guard(spark, path, lease)
     val dead = liveTombstones(spark, path)
     def dropDead(df: DataFrame): DataFrame =
       if (dead.isEmpty) df else df.filter(!col("vec_id").isInCollection(dead))
-    LshIndex.swapRewrite(spark, s"$path/postings") { df =>
+    LshIndex.swapRewrite(spark, s"$path/postings", preSwap) { df =>
       dropDead(df.get).dropDuplicates("vec_id")
         .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
     }
-    LshIndex.swapRewrite(spark, s"$path/vecs") { df =>
+    LshIndex.swapRewrite(spark, s"$path/vecs", preSwap) { df =>
       dropDead(df.get).dropDuplicates("vec_id")
         .repartition(col("vb")).sortWithinPartitions("vb", "vec_id")
         .write.mode(SaveMode.Overwrite).partitionBy("vb")

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.lake.WriterLease
+
 /**
  * Persisted MinHash-LSH INDEX — the production form of dedup-on-ingest.
  *
@@ -155,9 +157,13 @@ object LshIndex {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
   }
 
-  /** Build the index at `path` from scratch (overwrites). */
+  /** Build the index at `path` from scratch (overwrites). Mutators all
+    * take an optional [[WriterLease]] — required once any writer has
+    * fenced the store (see [[graft.lake.WriterLease]]). */
   def build(corpus: DataFrame, path: String, n: Int, k: Int, bands: Int,
-      keyBuckets: Int = DefaultKeyBuckets, gramBuckets: Int = DefaultGramBuckets): Unit = {
+      keyBuckets: Int = DefaultKeyBuckets, gramBuckets: Int = DefaultGramBuckets,
+      lease: Option[WriterLease] = None): Unit = {
+    WriterLease.guard(corpus.sparkSession, path, lease)
     val m = Meta(n, k, bands, keyBuckets, gramBuckets)
     val staged = Mat.materializeIterReleasable(
       stageHashed(corpus.dropDuplicates("doc_id"), n, k))
@@ -202,10 +208,14 @@ object LshIndex {
   /** Append an admitted batch's docs to the index
     * (the recompute path — [[indexAdmitted]] reuses the probe's staged
     * frame instead when admission ran). */
-  def append(batch: DataFrame, path: String): Unit = {
-    val m = readMeta(batch.sparkSession, path)
+  def append(batch: DataFrame, path: String,
+      lease: Option[WriterLease] = None): Unit = {
+    val spark = batch.sparkSession
+    WriterLease.guard(spark, path, lease)
+    val m = readMeta(spark, path)
     val staged = Mat.materializeIterReleasable(
       stageHashed(batch.dropDuplicates("doc_id"), m.n, m.k))
+    WriterLease.guard(spark, path, lease) // staging may be long; re-check at publish
     appendTail(staged.df, path, m)
     staged.release()
   }
@@ -443,7 +453,12 @@ object LshIndex {
     * store findable under `<store>` or `<store>.old` — re-running
     * compact heals it. Must not run concurrently with probe/append on
     * the same index. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      lease: Option[WriterLease] = None): Unit = {
+    WriterLease.guard(spark, path, lease)
+    // each store swap re-checks the fence after its (long) tmp write,
+    // right before the publishing renames
+    val preSwap: () => Unit = () => WriterLease.guard(spark, path, lease)
     val m = readMeta(spark, path)
     val tail = readTail(spark, path)
     if (!hasBase(spark, path) && tail.isEmpty) return // nothing folded yet
@@ -453,14 +468,14 @@ object LshIndex {
     // tail is deleted LAST, so a partial fold re-folds the same rows)
     def folded(base: Option[DataFrame], t: Option[DataFrame]): DataFrame =
       (base.toSeq ++ t).reduce(_ unionByName _)
-    swapRewrite(spark, s"$path/bands") { df =>
+    swapRewrite(spark, s"$path/bands", preSwap) { df =>
       folded(df, tail.map(tailBandsOf))
         .dropDuplicates("doc_id", "band_idx")
         .repartition(col("band_idx"), col("kb"))
         .sortWithinPartitions("band_idx", "kb")
         .write.mode(SaveMode.Overwrite).partitionBy("band_idx", "kb")
     }
-    swapRewrite(spark, s"$path/grams") { df =>
+    swapRewrite(spark, s"$path/grams", preSwap) { df =>
       folded(df, tail.map(tailGramsOf))
         .dropDuplicates("doc_id")
         .repartition(col("gb")).sortWithinPartitions("gb", "doc_id")
@@ -469,7 +484,7 @@ object LshIndex {
     // occupancy is recomputed exactly from the POST-fold bands store
     // (never summed with the tail's counts: a crash between the bands
     // swap and here would double-count the tail on the re-run)
-    swapRewrite(spark, s"$path/occ") { _ =>
+    swapRewrite(spark, s"$path/occ", preSwap) { _ =>
       spark.read.parquet(s"$path/bands")
         .groupBy(col("band_idx"), col("band_key")).agg(count(lit(1)).as("cnt"))
         .coalesce(1)
@@ -486,7 +501,8 @@ object LshIndex {
     * `store.old` from a previous crash is healed first (the swap's
     * second rename never ran, so `store` is absent and `.old` IS the
     * live copy). */
-  private[operators] def swapRewrite(spark: SparkSession, store: String)(
+  private[operators] def swapRewrite(spark: SparkSession, store: String,
+      preSwap: () => Unit = () => ())(
       plan: Option[DataFrame] => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -501,6 +517,7 @@ object LshIndex {
     fs.delete(old, true)
     val src = if (fs.exists(live)) Some(spark.read.parquet(store)) else None
     plan(src).parquet(tmp.toString)
+    preSwap() // last fence check before the publishing renames
     if (fs.exists(live) && !fs.rename(live, old))
       throw new IllegalStateException(s"compact: store swap failed for $store")
     if (!fs.rename(tmp, live))
@@ -593,8 +610,10 @@ object LshIndex {
     * without re-shingling; thereafter probe parameters always come from
     * the index's own meta descriptor. */
   def admitCanonical(canonical: DataFrame, indexDir: String, threshold: Double,
-      maxBucketSize: Int, batchId: Long, n: Int, k: Int): Admission = {
+      maxBucketSize: Int, batchId: Long, n: Int, k: Int,
+      lease: Option[WriterLease] = None): Admission = {
     val spark = canonical.sparkSession
+    WriterLease.guard(spark, indexDir, lease) // admission writes dropped/ + dropped_ids
     val docs = canonical
       .filter(col("has_insert") === 1 && col("op") =!= "D" && col("tokens").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
@@ -681,10 +700,12 @@ object LshIndex {
     * dedup recall), never table rows; the reverse order could drop data
     * on a foreachBatch retry. */
   def indexAdmitted(a: Admission, indexDir: String,
-      n: Int, k: Int, bands: Int): Unit = {
+      n: Int, k: Int, bands: Int,
+      lease: Option[WriterLease] = None): Unit = {
     val st = a.staged.getOrElse(throw new IllegalStateException(
       "indexAdmitted requires the admission's staged frame"))
     val spark = st.sparkSession
+    WriterLease.guard(spark, indexDir, lease)
     if (!exists(spark, indexDir)) {
       // LSM level-0 bootstrap: the first batch lands as ONE flat tail
       // append + the meta marker — O(batch), same as every later batch

@@ -101,6 +101,15 @@ object Replay {
     val routeDirty = quarantineDir.isDefined ||
       effLimit.record >= 0 || !effLimit.percentage.isNaN
 
+    // dedup.lease: fence the dedup index for THIS run — a second replay
+    // acquiring later owns the index and this stream's next admission
+    // fails loudly (FencedWriterException) instead of interleaving
+    // appends with the new owner (see [[graft.lake.WriterLease]])
+    val indexLease: Option[graft.lake.WriterLease] = dedup.collect {
+      case dx if dx.lease =>
+        graft.lake.WriterLease.acquire(spark, dx.indexDir, s"replay:$checkpointDir")
+    }
+
     val listener = metrics.map { m =>
       val l = new ReplayListener(m)
       spark.streams.addListener(l)
@@ -174,7 +183,7 @@ object Replay {
                 canonicalCache = Some(canonical)
                 val a = graft.operators.LshIndex.admitCanonical(
                   canonical, dx.indexDir, dx.threshold, dx.maxBucketSize, batchId,
-                  dx.n, dx.k)
+                  dx.n, dx.k, lease = indexLease)
                 admission = Some(a)
                 BatchApply.applyCanonical(table, a.admitted, batchId,
                   deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
@@ -192,7 +201,7 @@ object Replay {
               // (see LshIndex.indexAdmitted ordering note)
               admission.zip(dedup).foreach { case (a, dx) =>
                 graft.operators.LshIndex.indexAdmitted(
-                  a, dx.indexDir, dx.n, dx.k, dx.bands)
+                  a, dx.indexDir, dx.n, dx.k, dx.bands, lease = indexLease)
               }
             }
             // tps cap: hold the NEXT batch back until cumulative rate
