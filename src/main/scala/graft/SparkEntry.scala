@@ -56,6 +56,10 @@ object SparkEntry {
     * keyed by source dir. */
   private val streamFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q87's IVM fixture roots (feed-enabled replay + maintained agg),
+    * keyed by source dir. */
+  private val ivmFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q85's fixed BPE merge rules + base alphabet — the output of
     * `TextAnalysis.bpeTrain(documents@sf0.01, 8)` frozen as literals
     * (the PQ fixed-books discipline: the encoder runs under the exact
@@ -89,6 +93,46 @@ object SparkEntry {
 
   /** q53's split mix (ppm, sums to 1e6) — shared by query and oracle. */
   private val SplitSpec = Seq("train" -> 960000, "val" -> 20000, "test" -> 20000)
+
+  /** q80/q87's derived change log: the events table rendered as
+    * canonical change rows (error → D, else U; lang only past the lsn
+    * midpoint — the evolution trigger) and materialized under `d/log`
+    * as four lsn-ranged segment files, written oldest-first so the
+    * streaming file source admits them in log order. */
+  private def writeDerivedLog(s: SparkSession, dir: String, d: String): Unit = {
+    val ev = t(s, dir, "events")
+    val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val mid = (lo + hi) / 2
+    val isD = col("event_type") === "error"
+    val log = ev.select(
+      pmod(col("user_id"), lit(4)).cast("int").as("shard"),
+      col("event_id").as("lsn"),
+      when(isD, "D").otherwise("U").as("op"),
+      format_string("u%06d", col("user_id")).as("doc_id"),
+      when(isD, lit(null))
+        .otherwise(array(pmod(col("event_id"), lit(1000)).cast("int"))).as("tokens"),
+      when(isD, lit(null))
+        .otherwise(pmod(col("event_id"), lit(7)) + 1).cast("long").as("n_tok"),
+      when(isD, lit(null)).otherwise(col("event_type")).as("source"),
+      when(isD || col("event_id") <= mid, lit(null))
+        .otherwise(concat(lit("l_"), col("event_type"))).as("lang"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(d), s.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$d/log")
+    fs.mkdirs(logDir)
+    val step = (hi - lo + 4) / 4
+    (0 until 4).foreach { i =>
+      val l = lo + i * step
+      val tmp = new org.apache.hadoop.fs.Path(s"$d/log/.tmp-$i")
+      log.filter(col("lsn") >= l && col("lsn") < l + step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      fs.rename(part, new org.apache.hadoop.fs.Path(logDir, f"seg-$i%05d.parquet"))
+      fs.delete(tmp, true)
+    }
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -941,6 +985,35 @@ object SparkEntry {
         k = 5, shortlist = 50, nProbe = 4)
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE (the CDC-CONSUMER half of the change
+    // feed — q62 produces it, this query maintains a downstream grouped
+    // aggregate from it): the q80 change log replays with the feed
+    // enabled, STOPPED after two micro-batches to initialize the view
+    // (one full aggregate), then resumed for the remaining two; the
+    // second [[graft.lake.Ivm.sync]] advances the view INCREMENTALLY —
+    // it reads only feed batches 2-3 and the changed keys' buckets at
+    // the two pinned snapshots, never re-aggregating the table. The
+    // served rows must equal DuckDB's aggregate over a global last-wins
+    // of the same derived events, so init + delta merge + delete /
+    // group-extinction handling are value-exact end-to-end.
+    "q87_incremental_agg" -> ((s, dir) => {
+      val root = ivmFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-ivm-q").toString
+        writeDerivedLog(s, dir, d)
+        graft.stream.Replay.replay(s, s"$d/log", s"$d/table", s"$d/cp",
+          nBuckets = 8, maxFilesPerTrigger = 1, changelog = true,
+          stopAfterBatches = 2)
+        graft.lake.Ivm.sync(
+          graft.lake.LakeTable.load(s, s"$d/table"), s"$d/agg")
+        graft.stream.Replay.replay(s, s"$d/log", s"$d/table", s"$d/cp",
+          nBuckets = 8, maxFilesPerTrigger = 1, changelog = true)
+        graft.lake.Ivm.sync(
+          graft.lake.LakeTable.load(s, s"$d/table"), s"$d/agg")
+        d
+      })
+      graft.lake.Ivm.readAgg(s, s"$root/agg")
+    }),
+
     // MID-STREAM SCHEMA EVOLUTION through the real engine — the north
     // rule's additive path (new nullable column + int32->int64 widening)
     // as an oracle-checked replay, not just a spec: batch 0 applies
@@ -1028,40 +1101,7 @@ object SparkEntry {
     "q80_stream_replay" -> ((s, dir) => {
       val root = streamFixtures.getOrElseUpdate(dir, {
         val d = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
-        val ev = t(s, dir, "events")
-        val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val mid = (lo + hi) / 2
-        val isD = col("event_type") === "error"
-        val log = ev.select(
-          pmod(col("user_id"), lit(4)).cast("int").as("shard"),
-          col("event_id").as("lsn"),
-          when(isD, "D").otherwise("U").as("op"),
-          format_string("u%06d", col("user_id")).as("doc_id"),
-          when(isD, lit(null))
-            .otherwise(array(pmod(col("event_id"), lit(1000)).cast("int"))).as("tokens"),
-          when(isD, lit(null))
-            .otherwise(pmod(col("event_id"), lit(7)) + 1).cast("long").as("n_tok"),
-          when(isD, lit(null)).otherwise(col("event_type")).as("source"),
-          when(isD || col("event_id") <= mid, lit(null))
-            .otherwise(concat(lit("l_"), col("event_type"))).as("lang"))
-        // four lsn-ranged segments, written oldest-first so the file
-        // source admits them in log order (one micro-batch each)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(d), s.sparkContext.hadoopConfiguration)
-        val logDir = new org.apache.hadoop.fs.Path(s"$d/log")
-        fs.mkdirs(logDir)
-        val step = (hi - lo + 4) / 4
-        (0 until 4).foreach { i =>
-          val l = lo + i * step
-          val tmp = new org.apache.hadoop.fs.Path(s"$d/log/.tmp-$i")
-          log.filter(col("lsn") >= l && col("lsn") < l + step)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.listStatus(tmp).map(_.getPath)
-            .filter(_.getName.startsWith("part-")).head
-          fs.rename(part, new org.apache.hadoop.fs.Path(logDir, f"seg-$i%05d.parquet"))
-          fs.delete(tmp, true)
-        }
+        writeDerivedLog(s, dir, d)
         graft.stream.Replay.replay(s, s"$d/log", s"$d/table", s"$d/cp",
           nBuckets = 8, maxFilesPerTrigger = 1)
         d
@@ -1763,6 +1803,22 @@ object SparkEntry {
         |      FROM x)
         |SELECT chunk_id, count(*) AS n_rows, sum(bytes)::BIGINT AS chunk_bytes,
         |       min(k) AS lo, max(k) AS hi
-        |FROM c GROUP BY chunk_id""".stripMargin
+        |FROM c GROUP BY chunk_id""".stripMargin,
+
+    // q87 maintains (source, cnt, sum_val) incrementally from the feed;
+    // the oracle recomputes it directly from a global last-wins over
+    // the same derived change rows (q80's CTE, aggregated)
+    "q87_incremental_agg" ->
+      """WITH c AS (SELECT 'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        ((event_id % 7) + 1)::BIGINT AS n_tok,
+        |        event_type AS source
+        |      FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT source, count(*)::BIGINT AS cnt, sum(n_tok)::BIGINT AS sum_val
+        |FROM w WHERE rn = 1 AND op <> 'D'
+        |GROUP BY source""".stripMargin
   )
 }
