@@ -60,6 +60,11 @@ object SparkEntry {
     * keyed by source dir. */
   private val ivmFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q88/q89's event-time streaming fixture roots (ts-ranged segments +
+    * sentinel batches, sessionize + windowed-count sinks), keyed by
+    * source dir. */
+  private val sessFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q85's fixed BPE merge rules + base alphabet — the output of
     * `TextAnalysis.bpeTrain(documents@sf0.01, 8)` frozen as literals
     * (the PQ fixed-books discipline: the encoder runs under the exact
@@ -133,6 +138,71 @@ object SparkEntry {
       fs.delete(tmp, true)
     }
   }
+
+  /** q88/q89's shared fixture: the events table as a checkpointed
+    * file-source STREAM (four ts-ranged segments, one per micro-batch,
+    * so the watermark only advances and nothing is late) plus two
+    * far-future sentinel batches — the first pushes the watermark past
+    * every real event + gap, the second is the batch where the
+    * timeouts/finalizations EMIT (append mode surfaces results one
+    * batch after the watermark passes them). Runs BOTH §2.8 streaming
+    * operators to parquet sinks: gap sessions (`sessions/`) and
+    * watermarked tumbling window counts (`windows/`). */
+  private def sessionStreamFixture(s: SparkSession, dir: String): String =
+    sessFixtures.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-sess-q").toString
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (b.getTimestamp(0), b.getTimestamp(1))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(d), s.sparkContext.hadoopConfiguration)
+      val logDir = new org.apache.hadoop.fs.Path(s"$d/log")
+      fs.mkdirs(logDir)
+      def writeSeg(i: Int, df: DataFrame): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(s"$d/log/.tmp-$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).head
+        fs.rename(part, new org.apache.hadoop.fs.Path(logDir, f"seg-$i%05d.parquet"))
+        fs.delete(tmp, true)
+      }
+      val step = (hi.getTime - lo.getTime) / 4 + 1
+      (0 until 4).foreach { i =>
+        val l = new java.sql.Timestamp(lo.getTime + i * step)
+        val r = new java.sql.Timestamp(lo.getTime + (i + 1) * step)
+        writeSeg(i, ev.filter(col("ts") >= lit(l) && col("ts") < lit(r)))
+      }
+      locally {
+        import s.implicits._
+        (0 until 2).foreach { i =>
+          val sentinelTs = new java.sql.Timestamp(hi.getTime + (i + 1) * 86400000L)
+          writeSeg(4 + i,
+            Seq((-1L, sentinelTs, -1L - i, "zz_sentinel", 0.0))
+              .toDF("user_id", "ts", "event_id", "event_type", "value"))
+        }
+      }
+      val schema = s.read.parquet(s"$d/log").schema
+      def stream() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$d/log")
+      def run(out: org.apache.spark.sql.Dataset[_], name: String): Unit =
+        out.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$d/cp-$name")
+          .outputMode("append").format("parquet")
+          .option("path", s"$d/$name").start().awaitTermination()
+      locally {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        run(graft.stream.Windows.sessionize(
+          stream().as[graft.stream.Windows.SessionEvent],
+          watermarkDelay = "1 minutes", gapMs = 1800 * 1000L), "sessions")
+      }
+      run(graft.stream.Windows.windowedCounts(
+        stream(), watermarkDelay = "1 minutes", windowLen = "1 hour"), "windows")
+      d
+    })
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1014,6 +1084,40 @@ object SparkEntry {
       graft.lake.Ivm.readAgg(s, s"$root/agg")
     }),
 
+    // EVENT-TIME STREAMING, oracle-checked: until now the §2.8 streaming
+    // window operators ([[graft.stream.Windows]]) were spec-tested
+    // against hand-built MemoryStream feeds; q88/q89 run them over the
+    // REAL events table through a checkpointed file-source stream.
+    // Fixture: events split into four ts-RANGED segments (so the
+    // watermark only ever advances — no event is late) processed one
+    // file per micro-batch, then two far-future SENTINEL batches
+    // (user_id = -1): the first pushes the watermark past every real
+    // event + gap, the second gives Spark the batch in which the
+    // resulting timeouts/finalizations actually EMIT (append-mode
+    // semantics: results surface one batch after the watermark passes
+    // them). q88 = gap-based sessions via flatMapGroupsWithState +
+    // event-time timeout; the oracle is DuckDB's islands query (same
+    // 1800 s gap as q28), so the stateful merge logic — in-batch gaps,
+    // cross-batch session continuation, timeout closure — is
+    // value-exact per SESSION (q28 checks only per-user counts).
+    "q88_stream_sessions" -> ((s, dir) => {
+      val root = sessionStreamFixture(s, dir)
+      s.read.parquet(s"$root/sessions").filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+    }),
+
+    // q89 = watermarked tumbling event-time window counts (the state
+    // the watermark bounds at 100 TB); oracle = date_trunc group-by.
+    // Counts only: a float sum's addition order is not cross-engine
+    // stable, and the window/watermark machinery is what q89 gates.
+    "q89_stream_windows" -> ((s, dir) => {
+      val root = sessionStreamFixture(s, dir)
+      s.read.parquet(s"$root/windows")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("win_start"), col("event_type"), col("n"))
+    }),
+
     // MID-STREAM SCHEMA EVOLUTION through the real engine — the north
     // rule's additive path (new nullable column + int32->int64 widening)
     // as an oracle-checked replay, not just a spec: batch 0 applies
@@ -1804,6 +1908,38 @@ object SparkEntry {
         |SELECT chunk_id, count(*) AS n_rows, sum(bytes)::BIGINT AS chunk_bytes,
         |       min(k) AS lo, max(k) AS hi
         |FROM c GROUP BY chunk_id""".stripMargin,
+
+    // q88: DuckDB islands sessionization. The stream's gap math runs on
+    // java.sql.Timestamp.getTime MILLISECONDS (micros truncate), and its
+    // emitted bounds are ms-precision timestamps — so the oracle works
+    // in tms = epoch_us // 1000 throughout (gap test AND rendered
+    // bounds); ordering still breaks ties by full-precision (ts,
+    // event_id), which cannot change the gap partition (tms is monotone
+    // in ts and the gap depends only on tms).
+    "q88_stream_sessions" ->
+      """WITH x AS (SELECT user_id, ts, event_id, epoch_us(ts) // 1000 AS tms FROM events),
+        |y AS (SELECT user_id, ts, event_id, tms,
+        |        lag(tms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tms
+        |      FROM x),
+        |z AS (SELECT user_id, tms,
+        |        sum(CASE WHEN prev_tms IS NULL OR tms - prev_tms > 1800000
+        |            THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM y)
+        |SELECT user_id, make_timestamp(min(tms) * 1000) AS session_start,
+        |       make_timestamp(max(tms) * 1000) AS session_end,
+        |       count(*)::BIGINT AS n_events
+        |FROM z GROUP BY user_id, sess""".stripMargin,
+
+    // q89: tumbling hour windows == date_trunc buckets (Spark's
+    // window() aligns to the epoch hour); counts only — float sums are
+    // not addition-order-stable cross-engine, and the watermark/window
+    // machinery is what this query gates
+    "q89_stream_windows" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |       count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // q87 maintains (source, cnt, sum_val) incrementally from the feed;
     // the oracle recomputes it directly from a global last-wins over
