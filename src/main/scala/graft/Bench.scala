@@ -450,6 +450,77 @@ object Bench {
         sec
       }.min
 
+      // IVM probe: the feed-consumer refresh, on the FULL-SIZE table
+      // (the main ladder's 8M-event log replayed once with the feed on —
+      // the dedup-probe table would be overhead-bound and misrepresent
+      // the operator). Baseline = the full re-aggregate a
+      // non-incremental consumer pays per refresh (best-of-2);
+      // treatment = ONE incremental Ivm.sync after a ~0.5%-of-docs
+      // delta batch, clustered in 2 of 64 buckets (entity-clustered
+      // churn — the regime bucket pruning serves; scattered churn over
+      // single-row-group files reads the table anyway and is exactly
+      // what the bytes disclosure would show). A second sync is a no-op
+      // by design, so the treatment is a single sample with its steal
+      // delta disclosed. bytes_read is the scale-relevant evidence:
+      // wall-clock at bench scale carries ~6 fixed job launches the
+      // asymptote amortizes away.
+      import org.apache.spark.sql.functions.{array, count, lit, monotonically_increasing_id, pmod, sum}
+      def withBytesRead[A](s: SparkSession)(body: => A): (A, Long) = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val last = new java.util.concurrent.atomic.AtomicLong(System.nanoTime)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = e.stageInfo.taskMetrics
+            if (m != null) bytes.addAndGet(m.inputMetrics.bytesRead)
+            last.set(System.nanoTime)
+          }
+        }
+        s.sparkContext.addSparkListener(l)
+        try {
+          val r = body
+          // async listener bus: wait for the event stream to go quiet
+          val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+          while (System.nanoTime - last.get < 500L * 1000 * 1000 &&
+                 System.nanoTime < deadline) Thread.sleep(50)
+          (r, bytes.get)
+        } finally s.sparkContext.removeSparkListener(l)
+      }
+      val ivmLogFiles = new java.io.File(s"$work/log").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      Replay.replay(sDx, s"$work/log", s"$work/ivm-table", s"$work/ivm-cp",
+        nBuckets = 64, maxFilesPerTrigger = math.max(1, (ivmLogFiles + 3) / 4),
+        changelog = true)
+      val ivmTable = graft.lake.LakeTable.load(sDx, s"$work/ivm-table")
+      def fullAgg(): Unit = {
+        ivmTable.read().groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_tok").cast("long")).as("sum_val"))
+          .collect()
+        ()
+      }
+      val (_, ivmFullBytes) = withBytesRead(sDx)(fullAgg())
+      val ivmFullSec = (1 to 2).map(_ => time(fullAgg())).min
+      graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg") // view init (untimed)
+      val ivmSnap = ivmTable.current
+      val ivmMaxLsn = ivmSnap.watermarks.values.max
+      val ivmDelta0 = ivmTable.read().select(col("doc_id"), col("source"))
+        .filter(graft.lake.LakeTable.bucketExpr(col("doc_id"), 64).isin(0, 1))
+        .limit(math.max(100, (cfg.nDocs / 200).toInt))
+      val ivmDelta = ivmDelta0.select(
+        pmod(xxhash64(col("doc_id")), lit(32)).cast("int").as("shard"),
+        (lit(ivmMaxLsn + 1000000L) + monotonically_increasing_id()).as("lsn"),
+        lit("U").as("op"), col("doc_id"),
+        array(lit(1), lit(2), lit(3)).as("tokens"),
+        lit(3L).as("n_tok"), col("source"),
+        lit(null).cast("string").as("lang"))
+      graft.apply.BatchApply.apply(ivmTable, ivmDelta,
+        batchId = ivmSnap.batchId + 1, changelog = true)
+      val ivmDeltaDocs = ivmTable.readChanges(ivmSnap.batchId).count()
+      val ((ivmIncSec, ivmIncBytes), stealIvm) = withSteal(
+        withBytesRead(sDx)(time(graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg"))))
+      Seq(s"$work/ivm-table", s"$work/ivm-cp", s"$work/ivm-agg").foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+
       def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
       cdcJson =
         s"""{"events":$benchEvents,"avg_tokens":${cfg.avgTokens},"shards":${cfg.nShards},""" +
@@ -470,6 +541,9 @@ object Bench {
         s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
         s""""dedup_upd_off_sec":${fmt(dedupUpdOffSec)},"dedup_upd_on_sec":${fmt(dedupUpdOnSec)},""" +
         s""""changelog_on_sec":${fmt(changelogOnSec)},""" +
+        s""""ivm_full_agg_sec":${fmt(ivmFullSec)},"ivm_inc_sync_sec":${fmt(ivmIncSec)},""" +
+        s""""ivm_full_bytes_read":$ivmFullBytes,"ivm_inc_bytes_read":$ivmIncBytes,""" +
+        s""""ivm_delta_docs":$ivmDeltaDocs,"ivm_table_docs":${cfg.nDocs},"steal_jiffies_ivm":$stealIvm,""" +
         // machine-readable host quality: hypervisor-steal jiffy deltas
         // around each noise-sensitive rung (-1 = counter unavailable);
         // steal is strictly one-sided, so ~0 marks a trustworthy sample

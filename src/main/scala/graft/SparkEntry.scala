@@ -65,6 +65,10 @@ object SparkEntry {
     * source dir. */
   private val sessFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q90's mirror-table roots (a second replay consuming the q87
+    * table's change feed), keyed by source dir. */
+  private val mirrorFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q85's fixed BPE merge rules + base alphabet — the output of
     * `TextAnalysis.bpeTrain(documents@sf0.01, 8)` frozen as literals
     * (the PQ fixed-books discipline: the encoder runs under the exact
@@ -1118,6 +1122,31 @@ object SparkEntry {
         .select(col("win_start"), col("event_type"), col("n"))
     }),
 
+    // CDC REPLICATION closed at the driver level (feed OUT → replay IN,
+    // the reader.table chaining §2.3/§2.2-7 spec-tests promoted to an
+    // oracle row): a SECOND replay tails the q87 table's change feed —
+    // `changelog/` partitions are exactly a binlog dir to the file
+    // source — into a mirror table, through the same canonicalize →
+    // MERGE → commit path, including the mid-stream lang evolution the
+    // feed rows carry. The mirror's final state must equal DuckDB's
+    // global last-wins over the ORIGINAL derived events (q80's oracle):
+    // source table == mirror == oracle, i.e. the feed loses nothing and
+    // the chained apply is idempotent-exact.
+    "q90_feed_mirror" -> ((s, dir) => {
+      val _ = queries("q87_incremental_agg")(s, dir) // ensures the feed fixture
+      val root = ivmFixtures(dir)
+      val mroot = mirrorFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-mirror-q").toString
+        graft.stream.Replay.replay(s,
+          s"$root/table/${graft.lake.LakeTable.ChangelogDir}",
+          s"$d/mirror", s"$d/cp", nBuckets = 4)
+        d
+      })
+      graft.lake.LakeTable.load(s, s"$mroot/mirror").read()
+        .select(col("doc_id"), concat_ws(",", col("tokens")).as("tokens_csv"),
+          col("n_tok"), col("source"), col("lang"))
+    }),
+
     // MID-STREAM SCHEMA EVOLUTION through the real engine — the north
     // rule's additive path (new nullable column + int32->int64 widening)
     // as an oracle-checked replay, not just a spec: batch 0 applies
@@ -1940,6 +1969,23 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |       count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q90: the mirror must serve exactly what the source table serves —
+    // q80's oracle verbatim (global last-wins over the derived events)
+    "q90_feed_mirror" ->
+      """WITH b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |c AS (SELECT 'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        (event_id % 1000)::VARCHAR AS tokens_csv,
+        |        ((event_id % 7) + 1)::BIGINT AS n_tok,
+        |        event_type AS source,
+        |        CASE WHEN event_id > b.mid THEN 'l_' || event_type END AS lang
+        |      FROM events, b),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, tokens_csv, n_tok, source, lang
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // q87 maintains (source, cnt, sum_val) incrementally from the feed;
     // the oracle recomputes it directly from a global last-wins over

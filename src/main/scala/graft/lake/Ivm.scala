@@ -23,11 +23,16 @@ import org.apache.spark.sql.functions._
  *      batch-id-pruned, so this reads only the new batches.
  *   2. old contribution = rows of K at the SYNCED snapshot;
  *      new contribution = rows of K at the CURRENT snapshot (pinned at
- *      entry — concurrent commits shift neither side). Both reads are
- *      pruned to K's bucket set (`readResolved(buckets)`) — the bucket
- *      ids come from a ≤ nBuckets-row aggregate of K, so the driver
- *      never holds the key set itself (the key set rides a join;
- *      only its BUCKET set is collected).
+ *      entry — concurrent commits shift neither side). Two regimes by
+ *      |K| (the readKeys / LshIndex.PointLookupMax discipline):
+ *      bounded K (≤ `keyLookupMax`) collects the keys and reads via
+ *      [[LakeTable.readKeys]] — manifest bucket pruning + pushed
+ *      `In(doc_id,…)` + row-group skipping on the doc_id-SORTED data
+ *      files, so cost ∝ changed row groups even when hash-scattered
+ *      keys touch every bucket; unbounded K keeps the keys
+ *      distributed — both reads are pruned to K's bucket set
+ *      (`readResolved(buckets)`; only the ≤ nBuckets-int bucket SET is
+ *      collected) and K rides a join.
  *   3. delta per group = sum(new) − sum(old); merged into the stored
  *      aggregate with a null-safe full-outer join; groups whose count
  *      reaches zero are dropped.
@@ -63,12 +68,18 @@ object Ivm {
 
   private case class SyncMeta(version: Long, batchId: Long)
 
+  /** Changed-key count up to which the sync collects the key set and
+    * takes the readKeys point-lookup path (pushed In + row-group
+    * skipping); above it the keys stay distributed and ride a join. */
+  val DefaultKeyLookupMax = 65536
+
   /** Advance `aggDir` to the table's current snapshot and return the
     * aggregate rows (grp, cnt, sum_val). First call does the one full
     * aggregate (the view's initialization); later calls are
     * incremental; a call with nothing new is a no-op read. */
   def sync(table: LakeTable, aggDir: String,
-      grp: String = "source", sumCol: String = "n_tok"): DataFrame = {
+      grp: String = "source", sumCol: String = "n_tok",
+      keyLookupMax: Int = DefaultKeyLookupMax): DataFrame = {
     val spark = table.spark
     val cur = table.current
     heal(spark, aggDir)
@@ -86,19 +97,29 @@ object Ivm {
         // persisted: consumed by two bucket-set aggregates + two joins
         val changed = table.readChanges(m.batchId).select(col("doc_id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // rows of the changed keys at one pinned snapshot, bucket-pruned:
-        // only K's BUCKET SET (≤ nBuckets ints) ever lands on the driver
+        // bounded-|K| probe: limit+1 detects overflow without counting
+        val localKeys = changed.limit(keyLookupMax + 1).collect().map(_.get(0))
+        // rows of the changed keys at one pinned snapshot. Point-lookup
+        // regime: readKeys = manifest bucket pruning + pushed In +
+        // row-group skipping on the doc_id-sorted files (cost ∝ changed
+        // row groups even when hash-scattered keys touch every bucket).
+        // Join regime (|K| over the bound): bucket-set pruning only —
+        // K's BUCKET SET (≤ nBuckets ints) is all that lands driver-side
         def rowsAt(s: LakeTable.Snapshot, sign: Long): DataFrame = {
-          val bs = changed
-            .select(LakeTable.bucketExpr(col("doc_id"), s.nBuckets).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet
-          val rows =
+          val rows = if (localKeys.length <= keyLookupMax) {
+            if (localKeys.isEmpty) table.read(Some(s)).limit(0)
+            else table.readKeys(localKeys.toIndexedSeq, Some(s))
+          } else {
+            val bs = changed
+              .select(LakeTable.bucketExpr(col("doc_id"), s.nBuckets).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
             if (bs.isEmpty)
               table.read(Some(s)).limit(0)
             else
               table.readResolved(Some(bs), Some(s))
                 .filter(!col(LakeTable.DeletedCol))
                 .join(changed, Seq("doc_id"))
+          }
           contrib(rows, grp, sumCol, sign)
         }
         val delta = rowsAt(cur, 1L).unionByName(rowsAt(oldSnap, -1L))

@@ -45,15 +45,24 @@ class IvmSpec extends AnyFunSuite {
   private def served(df: DataFrame): Set[(String, Long, Long)] =
     df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
-  test("init + incremental syncs track the direct aggregate exactly") {
-    val dir = tmpDir("ivm1")
+  test("init + incremental syncs track the direct aggregate exactly (point-lookup regime)") {
+    trackExactly(tmpDir("ivm1"), keyLookupMax = Ivm.DefaultKeyLookupMax)
+  }
+
+  test("join regime (changed keys over the lookup bound) tracks identically") {
+    trackExactly(tmpDir("ivm1j"), keyLookupMax = 0)
+  }
+
+  private def trackExactly(dir: String, keyLookupMax: Int): Unit = {
     val table = Replay.createTable(spark, s"$dir/t", nBuckets = 8)
     val agg = s"$dir/agg"
+    def syncNow(): DataFrame =
+      Ivm.sync(table, agg, keyLookupMax = keyLookupMax)
 
     // batch 0: 60 inserts across three sources
     val b0 = (0 until 60).map(i => ev(i + 1, "I", f"d$i%04d", 2 + i % 5, s"s${i % 3}"))
     BatchApply.apply(table, toDF(b0), batchId = 0, changelog = true)
-    assert(served(Ivm.sync(table, agg)) == direct(table), "full init diverged")
+    assert(served(syncNow()) == direct(table), "full init diverged")
     assert(Ivm.syncedBatchId(spark, agg) == 0L)
 
     // batch 1: updates that MOVE docs between groups, deletes, inserts
@@ -62,7 +71,7 @@ class IvmSpec extends AnyFunSuite {
       (20 until 25).map(i => ev(1100 + i, "D", f"d$i%04d", 0, null)) ++
       (0 until 8).map(i => ev(1200 + i, "I", f"n$i%04d", 7, "s3"))      // new group
     BatchApply.apply(table, toDF(b1), batchId = 1, changelog = true)
-    assert(served(Ivm.sync(table, agg)) == direct(table), "incremental sync diverged")
+    assert(served(syncNow()) == direct(table), "incremental sync diverged")
     assert(Ivm.syncedBatchId(spark, agg) == 1L)
 
     // batch 2: drive group s3 extinct, flip a doc back and forth
@@ -70,12 +79,12 @@ class IvmSpec extends AnyFunSuite {
       (0 until 8).map(i => ev(2000 + i, "D", f"n$i%04d", 0, null)) ++
       Seq(ev(2100, "U", "d0000", 3, "s2"), ev(2101, "U", "d0000", 4, "s1"))
     BatchApply.apply(table, toDF(b2), batchId = 2, changelog = true)
-    val after2 = Ivm.sync(table, agg)
+    val after2 = syncNow()
     assert(served(after2) == direct(table), "delete/extinction sync diverged")
     assert(!served(after2).exists(_._1 == "s3"), "extinct group must drop out")
 
     // no-op sync: nothing new, result unchanged
-    assert(served(Ivm.sync(table, agg)) == direct(table))
+    assert(served(syncNow()) == direct(table))
     assert(Ivm.syncedBatchId(spark, agg) == 2L)
   }
 
