@@ -262,4 +262,5 @@ class LakeManifestSpec extends AnyFunSuite {
     assert(suggestBuckets(10000000000L, parallelism = 32) == 8192) // rows bind
     assert(suggestBuckets(0L, parallelism = 1 << 20) == (1 << 16)) // max clamp
   }
+
 }
