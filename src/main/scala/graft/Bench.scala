@@ -217,7 +217,8 @@ object Bench {
           "q62_lake_changelog", "q67_orc_source", "q69_exif_prune",
           "q70_rebucket", "q77_ann_index_probe", "q78_schema_evolution",
           "q80_stream_replay", "q81_cdc_envelope", "q86_ann_index_delete",
-          "q87_incremental_agg", "q88_stream_sessions", "q90_feed_mirror")
+          "q87_incremental_agg", "q88_stream_sessions", "q90_feed_mirror",
+          "q91_keyed_sink")
         .foreach { q =>
         try SparkEntry.queries(q)(spark1, sfDir).count()
         catch { case _: Throwable => () }

@@ -69,6 +69,9 @@ object SparkEntry {
     * table's change feed), keyed by source dir. */
   private val mirrorFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q91's DSv2 keyed-sink store roots, keyed by source dir. */
+  private val keyedSinkFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q85's fixed BPE merge rules + base alphabet — the output of
     * `TextAnalysis.bpeTrain(documents@sf0.01, 8)` frozen as literals
     * (the PQ fixed-books discipline: the encoder runs under the exact
@@ -1147,6 +1150,36 @@ object SparkEntry {
           col("n_tok"), col("source"), col("lang"))
     }),
 
+    // DSv2 KEYED SINK (§2.3-10/11's demonstrated write-side extension
+    // point — the ES bulk-by-id / OTS PutRow-DeleteRow shape): change
+    // rows derived from the events table write through the REAL DSv2
+    // batch-write protocol (per-task staged files → task commit
+    // messages → atomic publish rename → version-CAS manifest) into
+    // the bucket-sharded store; reading the store back must serve
+    // exactly DuckDB's last-wins over the same events with tombstoned
+    // keys gone — upsert-by-id and delete-by-id, value-exact through
+    // a store the engine does not control.
+    "q91_keyed_sink" -> ((s, dir) => {
+      val root = keyedSinkFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-ksink-q").toString
+        val isD = col("event_type") === "error"
+        t(s, dir, "events").select(
+            format_string("u%06d", col("user_id")).as("doc_id"),
+            col("event_id").as("lsn"),
+            when(isD, "D").otherwise("U").as("op"),
+            when(isD, lit(null))
+              .otherwise(pmod(col("event_id"), lit(7)) + 1).cast("long").as("n_tok"),
+            when(isD, lit(null)).otherwise(col("event_type")).as("source"))
+          .write.format("graft-keyed-sink")
+          .option("path", s"$d/store").option("buckets", 8)
+          .mode("append").save()
+        d
+      })
+      s.read.format("graft-keyed-sink")
+        .option("path", s"$root/store").option("buckets", 8).load()
+        .select(col("doc_id"), col("lsn"), col("n_tok"), col("source"))
+    }),
+
     // MID-STREAM SCHEMA EVOLUTION through the real engine — the north
     // rule's additive path (new nullable column + int32->int64 widening)
     // as an oracle-checked replay, not just a spec: batch 0 applies
@@ -1985,6 +2018,21 @@ object SparkEntry {
         |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
         |      FROM c)
         |SELECT doc_id, tokens_csv, n_tok, source, lang
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // q91: the keyed sink must serve last-wins-by-id minus tombstoned
+    // keys — the q80 derivation without the token/lang columns
+    "q91_keyed_sink" ->
+      """WITH c AS (SELECT 'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        event_id AS lsn,
+        |        CASE WHEN event_type = 'error' THEN NULL
+        |             ELSE ((event_id % 7) + 1) END::BIGINT AS n_tok,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source
+        |      FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+        |      FROM c)
+        |SELECT doc_id, lsn, n_tok, source
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // q87 maintains (source, cnt, sum_val) incrementally from the feed;
