@@ -503,7 +503,24 @@ object Bench {
       }
       val (_, ivmFullBytes) = withBytesRead(sDx)(fullAgg())
       val ivmFullSec = (1 to 2).map(_ => time(fullAgg())).min
+      // a SECOND maintained view whose summed value needs the WIDE
+      // payload column ("total tokens per source"): the full
+      // re-aggregate cannot column-prune its way past `tokens`, so
+      // this is the regime where the incremental sync wins WALL-CLOCK
+      // today, not just bytes (the narrow view above is the
+      // column-pruned regime where it does not — both disclosed)
+      val wideExpr = "aggregate(tokens, 0L, (a, x) -> a + x)"
+      def wideFullAgg(): Unit = {
+        ivmTable.read().groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(org.apache.spark.sql.functions.expr(wideExpr).cast("long")).as("sum_val"))
+          .collect()
+        ()
+      }
+      val (_, ivmWideFullBytes) = withBytesRead(sDx)(wideFullAgg())
+      val ivmWideFullSec = (1 to 2).map(_ => time(wideFullAgg())).min
       graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg") // view init (untimed)
+      graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg-wide", sumCol = wideExpr)
       val ivmSnap = ivmTable.current
       val ivmMaxLsn = ivmSnap.watermarks.values.max
       val ivmDelta0 = ivmTable.read().select(col("doc_id"), col("source"))
@@ -521,8 +538,12 @@ object Bench {
       val ivmDeltaDocs = ivmTable.readChanges(ivmSnap.batchId).count()
       val ((ivmIncSec, ivmIncBytes), stealIvm) = withSteal(
         withBytesRead(sDx)(time(graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg"))))
-      Seq(s"$work/ivm-table", s"$work/ivm-cp", s"$work/ivm-agg").foreach(p =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val ((ivmWideIncSec, ivmWideIncBytes), stealIvmWide) = withSteal(
+        withBytesRead(sDx)(time(
+          graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg-wide", sumCol = wideExpr))))
+      Seq(s"$work/ivm-table", s"$work/ivm-cp", s"$work/ivm-agg", s"$work/ivm-agg-wide")
+        .foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
 
       def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
       cdcJson =
@@ -546,7 +567,10 @@ object Bench {
         s""""changelog_on_sec":${fmt(changelogOnSec)},""" +
         s""""ivm_full_agg_sec":${fmt(ivmFullSec)},"ivm_inc_sync_sec":${fmt(ivmIncSec)},""" +
         s""""ivm_full_bytes_read":$ivmFullBytes,"ivm_inc_bytes_read":$ivmIncBytes,""" +
-        s""""ivm_delta_docs":$ivmDeltaDocs,"ivm_table_docs":${cfg.nDocs},"steal_jiffies_ivm":$stealIvm,""" +
+        s""""ivm_wide_full_agg_sec":${fmt(ivmWideFullSec)},"ivm_wide_inc_sync_sec":${fmt(ivmWideIncSec)},""" +
+        s""""ivm_wide_full_bytes_read":$ivmWideFullBytes,"ivm_wide_inc_bytes_read":$ivmWideIncBytes,""" +
+        s""""ivm_delta_docs":$ivmDeltaDocs,"ivm_table_docs":${cfg.nDocs},""" +
+        s""""steal_jiffies_ivm":$stealIvm,"steal_jiffies_ivm_wide":$stealIvmWide,""" +
         // machine-readable host quality: hypervisor-steal jiffy deltas
         // around each noise-sensitive rung (-1 = counter unavailable);
         // steal is strictly one-sided, so ~0 marks a trustworthy sample

@@ -139,12 +139,16 @@ object Ivm {
     }
   }
 
-  /** Per-row contribution: group value, sign, summed value. `s*v` is
-    * null when the summed column is null — sum() skips it on both the
-    * old and new side identically. */
+  /** Per-row contribution: group value, sign, summed value. `sumCol`
+    * is any SQL EXPRESSION castable to long — a plain column
+    * (`"n_tok"`) or a computation over wide payload columns
+    * (`"aggregate(tokens, 0L, (a, x) -> a + x)"`); the expression is
+    * evaluated identically at both pinned snapshots, so the delta
+    * algebra is unchanged. `s*v` is null when it evaluates null —
+    * sum() skips it on both sides identically. */
   private def contrib(rows: DataFrame, grp: String, sumCol: String,
       sign: Long = 1L): DataFrame =
-    rows.select(col(grp), lit(sign).as("s"), col(sumCol).cast("long").as("v"))
+    rows.select(col(grp), lit(sign).as("s"), expr(sumCol).cast("long").as("v"))
 
   /** The maintained aggregate (grp, cnt, sum_val) as last published. */
   def readAgg(spark: SparkSession, aggDir: String): DataFrame = {

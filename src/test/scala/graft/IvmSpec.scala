@@ -88,6 +88,25 @@ class IvmSpec extends AnyFunSuite {
     assert(Ivm.syncedBatchId(spark, agg) == 2L)
   }
 
+  test("sumCol accepts an expression over the wide payload column") {
+    val dir = tmpDir("ivm-wide")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 4)
+    val agg = s"$dir/agg"
+    val wide = "aggregate(tokens, 0L, (a, x) -> a + x)"
+    def directWide(): Set[(String, Long, Long)] =
+      table.read().groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum(expr(wide).cast("long")).as("sum_val"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b0 = (0 until 30).map(i => ev(i + 1, "I", f"w$i%04d", 3 + i % 4, s"s${i % 2}"))
+    BatchApply.apply(table, toDF(b0), batchId = 0, changelog = true)
+    assert(served(Ivm.sync(table, agg, sumCol = wide)) == directWide())
+    // incremental: updates change token contents, a delete, an insert
+    val b1 = Seq(ev(100, "U", "w0000", 9, "s1"), ev(101, "D", "w0001", 0, null),
+      ev(102, "I", "w9999", 5, "s0"))
+    BatchApply.apply(table, toDF(b1), batchId = 1, changelog = true)
+    assert(served(Ivm.sync(table, agg, sumCol = wide)) == directWide())
+  }
+
   test("crash heal: a torn store swap is recovered on next access") {
     val dir = tmpDir("ivm2")
     val table = Replay.createTable(spark, s"$dir/t", nBuckets = 4)
