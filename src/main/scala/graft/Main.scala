@@ -182,6 +182,14 @@ object Main {
 
     spec.postSql.foreach(spark.sql(_).collect()) // DataX postSql analog
 
+    // maintained view sync runs BEFORE maintenance: vacuum's feed
+    // retention must never trim batches this sync still needs
+    spec.ivm.foreach { iv =>
+      val agg = graft.lake.Ivm.sync(table, iv.aggDir, iv.grp, iv.sum)
+      println(s"ivm view ${iv.aggDir}: ${agg.count()} groups, synced through " +
+        s"batch ${graft.lake.Ivm.syncedBatchId(spark, iv.aggDir)}")
+    }
+
     // post-replay maintenance: rebucket folds deltas too, so compact
     // after it is cheap; vacuum last removes everything superseded.
     // "auto" sizes the bucket count from the live row count — the

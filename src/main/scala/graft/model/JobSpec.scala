@@ -116,6 +116,10 @@ final case class JobSpec(
     /** `dedup` block: near-dup admission against a persisted LSH index
       * (see [[DedupSpec]] / [[graft.operators.LshIndex]]). */
     dedup: Option[DedupSpec] = None,
+    /** `ivm` block: sync a maintained grouped aggregate from the change
+      * feed after the run ([[IvmSpec]] / [[graft.lake.Ivm]]); requires
+      * `writer.changelog` so the feed the sync reads actually exists. */
+    ivm: Option[IvmSpec] = None,
     /** dryRun / preCheck mode (`JobContainer.java:100-107` analog):
       * validate the spec, source schema, table format and transformer
       * chain with ZERO writes. Also settable via `graft.Main --dryRun`. */
@@ -173,6 +177,15 @@ final case class FileWriterSpec(
   * after the batch's lake commit. `n`/`k`/`bands` are BUILD parameters
   * (used only when the first batch creates the index); probes always
   * follow the index's own meta descriptor. */
+/** `ivm` block: keep a downstream grouped aggregate in sync from the
+  * table's change feed after each job run ([[graft.lake.Ivm]] — the
+  * materialized-view consumer of `writer.changelog`). `sum` is any SQL
+  * expression castable to long. */
+final case class IvmSpec(
+    aggDir: String,
+    grp: String = "source",
+    sum: String = "n_tok")
+
 final case class DedupSpec(
     indexDir: String,
     threshold: Double = 0.8,
@@ -403,6 +416,17 @@ object JobSpec {
           bands = num(o \ "bands", 4).toInt,
           maxBucketSize = num(o \ "maxBucketSize", 1000).toInt,
           lease = (o \ "lease") == JBool(true)))
+        case _ => None
+      },
+      ivm = (j \ "ivm") match {
+        case o: JObject =>
+          if ((j \ "writer" \ "changelog") != JBool(true))
+            throw new IllegalArgumentException(
+              "ivm requires writer.changelog: true — the maintained view syncs FROM the change feed")
+          Some(IvmSpec(
+            aggDir = str(o \ "aggDir"),
+            grp = str(o \ "grp", "source"),
+            sum = str(o \ "sum", "n_tok")))
         case _ => None
       },
       dryRun = (j \ "dryRun") == JBool(true) || (j \ "setting" \ "dryRun") == JBool(true))

@@ -197,6 +197,26 @@ class JobSpecSuite extends AnyFunSuite {
     assert(!off.changelog)
   }
 
+  test("ivm block: parses with defaults; refuses loudly without the feed it consumes") {
+    val s = JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c", "changelog": true},
+        | "ivm": {"aggDir": "/agg"}}""".stripMargin)
+    assert(s.ivm.contains(graft.model.IvmSpec("/agg", "source", "n_tok")))
+    val wide = JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c", "changelog": true},
+        | "ivm": {"aggDir": "/agg", "grp": "lang",
+        |         "sum": "aggregate(tokens, 0L, (a, x) -> a + x)"}}""".stripMargin)
+    assert(wide.ivm.exists(i => i.grp == "lang" && i.sum.startsWith("aggregate")))
+    // an ivm block without writer.changelog is a broken job — fail at parse
+    val e = intercept[IllegalArgumentException](JobSpec.parse(
+      """{"reader": {"logDir": "/l"},
+        | "writer": {"tableDir": "/t", "checkpointDir": "/c"},
+        | "ivm": {"aggDir": "/agg"}}""".stripMargin))
+    assert(e.getMessage.contains("writer.changelog"))
+  }
+
   test("sensitive config masking: *password*/*accessKey*/*secret* never print") {
     val json =
       """{"reader": {"jdbc": {"jdbcUrl": "jdbc:mysql://db/x", "username": "u",
