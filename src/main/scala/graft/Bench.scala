@@ -505,10 +505,11 @@ object Bench {
       val ivmFullSec = (1 to 2).map(_ => time(fullAgg())).min
       // a SECOND maintained view whose summed value needs the WIDE
       // payload column ("total tokens per source"): the full
-      // re-aggregate cannot column-prune its way past `tokens`, so
-      // this is the regime where the incremental sync wins WALL-CLOCK
-      // today, not just bytes (the narrow view above is the
-      // column-pruned regime where it does not — both disclosed)
+      // re-aggregate cannot column-prune its way past `tokens`, which
+      // doubles its cost exactly as the model predicts and narrows the
+      // gap to the incremental sync — at bench scale the full agg
+      // still wins wall-clock (sync's evidence is bytes read and the
+      // slope; both regimes disclosed in BASELINE.md)
       val wideExpr = "aggregate(tokens, 0L, (a, x) -> a + x)"
       def wideFullAgg(): Unit = {
         ivmTable.read().groupBy(col("source"))

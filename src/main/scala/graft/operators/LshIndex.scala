@@ -413,23 +413,50 @@ object LshIndex {
     keys
   }
 
-  /** The sticky dropped-doc set, driver-cached per index path (loaded
-    * from `dropped_ids/` once, then maintained in memory as
-    * [[admitCanonical]] appends — exact under the file's single-writer
-    * assumption; disk stays the durable copy for restarts). */
+  /** The sticky dropped-doc set, driver-cached per index path with a
+    * HARD BOUND: `Some(set)` while the accumulated `dropped_ids/`
+    * store holds at most [[PointLookupMax]] distinct ids (loaded once
+    * with a limit+1 probe — never an unbounded collect — then
+    * maintained in memory as [[admitCanonical]] appends; disk stays
+    * the durable copy for restarts); `None` once the store overflows
+    * the bound, after which suppression runs as a distributed
+    * anti-join against the store itself and the driver holds nothing.
+    * On a 10^10-doc corpus with a high dup rate the dropped set is
+    * O(corpus) — the pre-bound full collect was a driver OOM waiting
+    * at index-reload time. */
   private val droppedIdsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[java.util.Set[String]]]()
 
-  private def stickyDropped(spark: SparkSession, indexDir: String): java.util.Set[String] =
-    droppedIdsCache.computeIfAbsent(indexDir, _ => {
-      val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/dropped_ids")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-        spark.read.parquet(s"$indexDir/dropped_ids").distinct()
-          .collect().foreach(r => s.add(r.get(0).toString))
-      s
-    })
+  /** The `dropped_ids/` store as a distinct one-column frame, None if
+    * nothing was ever dropped. */
+  private def droppedStore(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/dropped_ids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(s"$indexDir/dropped_ids").select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def stickyDropped(spark: SparkSession,
+      indexDir: String): Option[java.util.Set[String]] =
+    droppedIdsCache.computeIfAbsent(indexDir, _ =>
+      droppedStore(spark, indexDir) match {
+        case None => Some(java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        case Some(df) =>
+          val probe = df.limit(PointLookupMax + 1).collect()
+          if (probe.length > PointLookupMax) None
+          else {
+            val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+            probe.foreach(r => s.add(r.get(0).toString))
+            Some(s)
+          }
+      })
+
+  /** Test hook: Some(size) when the index's sticky dropped set is
+    * driver-resident (bounded mode), None when it overflowed to the
+    * distributed anti-join (or was never loaded). */
+  private[graft] def droppedDriverResident(indexDir: String): Option[Int] =
+    Option(droppedIdsCache.get(indexDir)).flatten.map(_.size)
 
   /** Does an index (its meta descriptor) exist at `path`? */
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -581,8 +608,10 @@ object LshIndex {
     * index holds ONE gram set per doc — first version — rather than one
     * per update). Docs that were DROPPED as dups stay dropped: their
     * later updates are suppressed by the sticky dropped-ids set
-    * (`indexDir/dropped_ids/`, tiny, broadcast as an IN filter) — a doc
-    * re-enters only via a fresh insert, which re-probes. Two disclosed
+    * (`indexDir/dropped_ids/` — a codegen'd IN filter while it fits
+    * the driver bound, a distributed anti-join against the store once
+    * it overflows [[PointLookupMax]]) — a doc re-enters only via a
+    * fresh insert, which re-probes. Two disclosed
     * consequences: (1) an update that rewrites an ADMITTED doc into a
     * near-dup of another doc is not re-checked (offline cluster dedup
     * owns that case); (2) a doc whose first-ever event arrives as an
@@ -625,11 +654,12 @@ object LshIndex {
     val probed = probeStaged(docs, indexDir, threshold, maxBucketSize, dedupe = false)
     val pairs = probed.pairs.filter(col("doc_id") =!= col("dup_of"))
     val droppedDir = s"$indexDir/dropped/batch_id=$batchId"
-    // the sticky dropped set (small: only ever-verified dup docs) —
-    // driver-cached, loaded from disk once per index, appended in
-    // memory below; empty until the first drop happens.
-    val stickySet = stickyDropped(spark, indexDir)
-    val stickyIds: Array[String] = stickySet.toArray(Array.empty[String])
+    // the sticky dropped set — driver-cached in bounded mode (≤
+    // PointLookupMax ids), or None once the accumulated store
+    // overflowed the bound (suppression then anti-joins the store).
+    val sticky = stickyDropped(spark, indexDir)
+    val stickyIds: Array[String] =
+      sticky.map(_.toArray(Array.empty[String])).getOrElse(Array.empty)
     // steady state: ONE bounded action runs the whole probe plan and
     // lands the (tiny) verified pairs on the driver — the audit write
     // becomes a local single-task job and the canonical/staged filters
@@ -645,21 +675,31 @@ object LshIndex {
         import spark.implicits._
         ids.map(_.toString).toSeq.toDF("doc_id")
           .coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/dropped_ids")
-        ids.foreach(i => stickySet.add(i.toString))
+        sticky.foreach { set =>
+          ids.foreach(i => set.add(i.toString))
+          // bounded-mode set just crossed the bound: demote to the
+          // distributed form — the next batch's reload probe sees the
+          // (now larger) store and stays in anti-join mode
+          if (set.size > PointLookupMax) droppedIdsCache.put(indexDir, None)
+        }
       }
+      // IN-set predicate while the drop set is driver-resident (the
+      // common case — stays in codegen); an overflowed sticky store
+      // never lands on the driver: suppression is a distributed
+      // anti-join against dropped_ids/ itself (this batch's ids were
+      // appended above, so one scan covers both)
       val allDropIds = (ids ++ stickyIds).distinct
-      // IN-set predicate while the drop set is small (the common case);
-      // a huge sticky set would bloat the codegen'd plan, so past the
-      // same bound as the collect it becomes an anti-join instead
-      def dropFiltered(df: DataFrame): DataFrame =
-        if (allDropIds.isEmpty) df
-        else if (allDropIds.length <= PointLookupMax)
+      def dropFiltered(df: DataFrame): DataFrame = sticky match {
+        case Some(_) if allDropIds.isEmpty => df
+        case Some(_) if allDropIds.length <= PointLookupMax =>
           df.filter(!col("doc_id").isin(allDropIds.toIndexedSeq: _*))
-        else {
+        case Some(_) =>
           import spark.implicits._
           df.join(broadcast(allDropIds.map(_.toString).toSeq.toDF("doc_id")),
             Seq("doc_id"), "left_anti")
-        }
+        case None =>
+          df.join(droppedStore(spark, indexDir).get, Seq("doc_id"), "left_anti")
+      }
       val keepNew =
         if (ids.isEmpty) lit(true) else !col("doc_id").isin(ids.toIndexedSeq: _*)
       Admission(
@@ -676,14 +716,17 @@ object LshIndex {
       val dupIds = h.df.select("doc_id").distinct()
       dupIds.coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/dropped_ids")
       // the big set never lands on the driver — drop the cached copy so
-      // the next batch reloads the (now larger) set from disk
+      // the next batch reloads from disk (the bounded limit+1 probe)
       droppedIdsCache.remove(indexDir)
       val dropped = dupIds.count() // dupIds is small (verified pairs only)
-      val stickyKeep =
-        if (stickyIds.isEmpty) lit(true)
-        else !col("doc_id").isin(stickyIds.toIndexedSeq: _*)
+      val stickyFiltered = sticky match {
+        case Some(_) if stickyIds.isEmpty => canonical
+        case Some(_) => canonical.filter(!col("doc_id").isin(stickyIds.toIndexedSeq: _*))
+        case None =>
+          canonical.join(droppedStore(spark, indexDir).get, Seq("doc_id"), "left_anti")
+      }
       Admission(
-        admitted = canonical.filter(stickyKeep).join(dupIds, Seq("doc_id"), "left_anti"),
+        admitted = stickyFiltered.join(dupIds, Seq("doc_id"), "left_anti"),
         droppedDocs = dropped,
         release = () => { h.release(); probed.release() },
         staged = Some(probed.staged.df),

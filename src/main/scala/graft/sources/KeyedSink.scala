@@ -14,6 +14,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /**
  * DataSource V2 WRITE-side skeleton — the demonstrated extension point
@@ -69,11 +70,18 @@ class KeyedSinkProvider extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-keyed-sink requires option(\"path\", ...)"))
     val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(8)
-    new KeyedSinkTable(path, buckets)
+    // capture the SESSION's Hadoop configuration at plan time (user
+    // s3a credentials / custom schemes included) and serialize it to
+    // every executor-side writer/reader — a fresh `new Configuration()`
+    // there would silently drop spark.hadoop.* settings
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new KeyedSinkTable(path, buckets, conf)
   }
 }
 
-private[sources] class KeyedSinkTable(path: String, buckets: Int)
+private[sources] class KeyedSinkTable(path: String, buckets: Int,
+    conf: SerializableConfiguration)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-keyed-sink($path)"
   override def schema(): StructType = KeyedSink.Schema
@@ -87,14 +95,14 @@ private[sources] class KeyedSinkTable(path: String, buckets: Int)
         s"in order, got ${in.fieldNames.mkString(",")}")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new KeyedSinkBatchWrite(path, buckets)
+        override def toBatch: BatchWrite = new KeyedSinkBatchWrite(path, buckets, conf)
       }
     }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new KeyedSinkScan(path, buckets)
+      override def build(): Scan = new KeyedSinkScan(path, buckets, conf)
     }
 }
 
@@ -103,15 +111,16 @@ private[sources] class KeyedSinkTable(path: String, buckets: Int)
 private[sources] case class KeyedFilesMessage(
     files: Seq[(Int, String, Long)]) extends WriterCommitMessage // (bucket, name, rows)
 
-private[sources] class KeyedSinkBatchWrite(path: String, buckets: Int)
+private[sources] class KeyedSinkBatchWrite(path: String, buckets: Int,
+    conf: SerializableConfiguration)
     extends BatchWrite {
   private val txn = UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KeyedSinkWriterFactory(path, buckets, txn)
+    new KeyedSinkWriterFactory(path, buckets, txn, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = KeyedSink.fs(path)
+    val fs = KeyedSink.fs(path, conf.value)
     val staged = new Path(path, s".staged-$txn")
     val published = new Path(path, s"txn-$txn")
     val files = messages.flatMap { case KeyedFilesMessage(fl) => fl }
@@ -123,25 +132,35 @@ private[sources] class KeyedSinkBatchWrite(path: String, buckets: Int)
     val prevFiles = prev.map(_._2).getOrElse(Nil)
     val newFiles = files.map { case (b, name, rows) => (b, s"txn-$txn/$name", rows) }
     val version = prev.map(_._1).getOrElse(0L) + 1L
-    KeyedSink.publishManifest(fs, path, version,
+    try KeyedSink.publishManifest(fs, path, version,
       KeyedSink.manifestJson(prevFiles ++ newFiles))
+    catch { case e: IllegalStateException =>
+      // CAS loss AFTER the publish rename: the txn dir is durable but
+      // will never be manifest-listed (the winner's manifest does not
+      // know it) — reclaim it now or it leaks as invisible debris on
+      // every concurrent-writer retry
+      fs.delete(published, true)
+      throw e
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = KeyedSink.fs(path)
+    val fs = KeyedSink.fs(path, conf.value)
     fs.delete(new Path(path, s".staged-$txn"), true)
   }
 }
 
-private[sources] class KeyedSinkWriterFactory(path: String, buckets: Int, txn: String)
+private[sources] class KeyedSinkWriterFactory(path: String, buckets: Int, txn: String,
+    conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KeyedSinkWriter(path, buckets, txn, partitionId, taskId)
+    new KeyedSinkWriter(path, buckets, txn, partitionId, taskId, conf)
 }
 
 private[sources] class KeyedSinkWriter(path: String, buckets: Int, txn: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-  private val fs = KeyedSink.fs(path)
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val fs = KeyedSink.fs(path, conf.value)
   private val streams = new java.util.HashMap[Int, java.io.BufferedWriter]()
   private val counts = new java.util.HashMap[Int, Long]()
 
@@ -186,14 +205,15 @@ private[sources] class KeyedSinkWriter(path: String, buckets: Int, txn: String,
 
 // -------------------------------------------------------------- read
 
-private[sources] class KeyedSinkScan(path: String, buckets: Int)
+private[sources] class KeyedSinkScan(path: String, buckets: Int,
+    conf: SerializableConfiguration)
     extends Scan with Batch {
   override def readSchema(): StructType = KeyedSink.Schema
   override def description(): String = s"graft-keyed-sink buckets=$buckets"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = KeyedSink.fs(path)
+    val fs = KeyedSink.fs(path, conf.value)
     val files = KeyedSink.currentManifest(fs, path).map(_._2).getOrElse(Nil)
     // one partition per bucket: resolution state is per-bucket, and a
     // bucket's reader opens ONLY its own files (the shard-scan shape)
@@ -202,12 +222,18 @@ private[sources] class KeyedSinkScan(path: String, buckets: Int)
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val kp = p.asInstanceOf[KeyedBucketPartition]
-        new KeyedBucketReader(kp.path, kp.files)
-      }
-    }
+    new KeyedBucketReaderFactory(conf)
+}
+
+/** Named top-level factory: serialized to executors with ONLY the
+  * Hadoop conf — an anonymous factory would close over the
+  * non-serializable Scan. */
+private[sources] class KeyedBucketReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KeyedBucketPartition]
+    new KeyedBucketReader(kp.path, kp.files, conf)
+  }
 }
 
 private[sources] case class KeyedBucketPartition(
@@ -217,10 +243,11 @@ private[sources] case class KeyedBucketPartition(
   * (manifest order breaks exact-lsn ties — later commit wins), `D`
   * winners are tombstones and are dropped. State ∝ live keys in THIS
   * bucket only. */
-private[sources] class KeyedBucketReader(path: String, files: Seq[String])
+private[sources] class KeyedBucketReader(path: String, files: Seq[String],
+    conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val it: Iterator[InternalRow] = {
-    val fs = KeyedSink.fs(path)
+    val fs = KeyedSink.fs(path, conf.value)
     val best = new java.util.HashMap[String, Array[String]]()
     files.foreach { rel =>
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -260,8 +287,8 @@ private[sources] object KeyedSink {
     StructField("n_tok", LongType, nullable = true),
     StructField("source", StringType, nullable = true)))
 
-  def fs(path: String): FileSystem =
-    new Path(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+  def fs(path: String, conf: org.apache.hadoop.conf.Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
 
   def fileName(bucket: Int, partitionId: Int, taskId: Long): String =
     f"b$bucket%04d-p$partitionId%05d-t$taskId.tsv"

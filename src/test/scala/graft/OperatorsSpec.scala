@@ -172,6 +172,39 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == afterAppend)
   }
 
+  test("LSH index: over-bound sticky dropped set stays off the driver, suppression exact") {
+    import graft.operators.LshIndex
+    import spark.implicits._
+    val path = tmpDir("lshidx-dropped")
+    val corpus = docs.limit(50)
+      .select(concat(lit("d"), col("doc_id")).as("doc_id"), col("text"))
+    LshIndex.build(corpus, path, n = 3, k = 12, bands = 4)
+    // plant an over-bound accumulated dropped set (what a long replay
+    // over a high-dup corpus accretes) plus one known sentinel id
+    val planted = (1 to (LshIndex.PointLookupMax + 64)).map(i => s"planted-$i")
+    (planted :+ "sticky-victim").toDF("doc_id")
+      .repartition(4).write.mode("append").parquet(s"$path/dropped_ids")
+    // canonical batch: an UPDATE for the sticky victim (must stay
+    // suppressed — its doc was dropped before this restart) and a
+    // fresh unrelated insert (must be admitted)
+    val events = Seq(
+      ("sticky-victim", 100L, "U", Seq(1, 2, 3), 3, "web", null.asInstanceOf[String], 0),
+      ("fresh-doc", 101L, "I", Seq(900001, 900002, 900003, 900004, 900005, 900006), 6,
+        "web", null.asInstanceOf[String], 0))
+      .toDF("doc_id", "lsn", "op", "tokens", "n_tok", "source", "lang", "shard")
+    val a = LshIndex.admitCanonical(graft.apply.BatchApply.canonicalize(events), path,
+      threshold = 0.9, maxBucketSize = 1000, batchId = 7, n = 3, k = 12)
+    val admitted = a.admitted.select("doc_id").as[String].collect().toSet
+    a.release()
+    assert(!admitted.contains("sticky-victim"),
+      "update to a dropped doc must stay suppressed through the distributed anti-join")
+    assert(admitted.contains("fresh-doc"), "unrelated insert must be admitted")
+    // the load probe saw > PointLookupMax accumulated ids: the sticky
+    // set must NOT be driver-resident (overflow -> anti-join mode)
+    assert(LshIndex.droppedDriverResident(path).isEmpty,
+      s"sticky dropped set materialized on the driver: ${LshIndex.droppedDriverResident(path)}")
+  }
+
   test("corpus mix: deterministic, stratified, shuffle-free, correct weights") {
     val rates = Map("src0" -> 900000, "src1" -> 50000)
     val run = () => TextAnalysis.mixSample(docs, rates, defaultPpm = 200000).collect()
