@@ -453,6 +453,20 @@ object Bench {
         sec
       }.min
 
+      // ... and with pre-images too (writer.preimages): the apply-side
+      // cost of the signed delta feed — one extra resolved read of the
+      // touched buckets per batch, the price a downstream pure-feed
+      // IVM sync stops paying at every refresh
+      val preimagesOnSec = (1 to 2).map { _ =>
+        val sec = time(Replay.replay(sDx, s"$work/dxlog",
+          s"$work/pre-table", s"$work/pre-cp",
+          nBuckets = 64, maxFilesPerTrigger = dxPerTrigger,
+          changelog = true, preimages = true))
+        Seq(s"$work/pre-table", s"$work/pre-cp").foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        sec
+      }.min
+
       // IVM probe: the feed-consumer refresh, on the FULL-SIZE table
       // (the main ladder's 8M-event log replayed once with the feed on —
       // the dedup-probe table would be overhead-bound and misrepresent
@@ -524,22 +538,36 @@ object Bench {
       graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg-wide", sumCol = wideExpr)
       val ivmSnap = ivmTable.current
       val ivmMaxLsn = ivmSnap.watermarks.values.max
-      val ivmDelta0 = ivmTable.read().select(col("doc_id"), col("source"))
+      def mkDelta(lsnBase: Long) = ivmTable.read().select(col("doc_id"), col("source"))
         .filter(graft.lake.LakeTable.bucketExpr(col("doc_id"), 64).isin(0, 1))
         .limit(math.max(100, (cfg.nDocs / 200).toInt))
-      val ivmDelta = ivmDelta0.select(
-        pmod(xxhash64(col("doc_id")), lit(32)).cast("int").as("shard"),
-        (lit(ivmMaxLsn + 1000000L) + monotonically_increasing_id()).as("lsn"),
-        lit("U").as("op"), col("doc_id"),
-        array(lit(1), lit(2), lit(3)).as("tokens"),
-        lit(3L).as("n_tok"), col("source"),
-        lit(null).cast("string").as("lang"))
-      graft.apply.BatchApply.apply(ivmTable, ivmDelta,
+        .select(
+          pmod(xxhash64(col("doc_id")), lit(32)).cast("int").as("shard"),
+          (lit(lsnBase) + monotonically_increasing_id()).as("lsn"),
+          lit("U").as("op"), col("doc_id"),
+          array(lit(1), lit(2), lit(3)).as("tokens"),
+          lit(3L).as("n_tok"), col("source"),
+          lit(null).cast("string").as("lang"))
+      graft.apply.BatchApply.apply(ivmTable, mkDelta(ivmMaxLsn + 1000000L),
         batchId = ivmSnap.batchId + 1, changelog = true)
       val ivmDeltaDocs = ivmTable.readChanges(ivmSnap.batchId).count()
       val ((ivmIncSec, ivmIncBytes), stealIvm) = withSteal(
         withBytesRead(sDx)(time(graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg"))))
       val ((ivmWideIncSec, ivmWideIncBytes), stealIvmWide) = withSteal(
+        withBytesRead(sDx)(time(
+          graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg-wide", sumCol = wideExpr))))
+      // PURE-FEED sync (writer.preimages was on for this delta batch):
+      // the refresh is one aggregation of the signed feed partition —
+      // zero table reads, a handful of job launches. Same delta size
+      // and clustering as the snapshot-diff rung above, so the three
+      // regimes (full re-agg / snapshot-diff sync / pure-feed sync)
+      // are directly comparable.
+      val ivmSnap2 = ivmTable.current
+      graft.apply.BatchApply.apply(ivmTable, mkDelta(ivmMaxLsn + 2000000L),
+        batchId = ivmSnap2.batchId + 1, changelog = true, preimages = true)
+      val ((ivmFeedSec, ivmFeedBytes), stealIvmFeed) = withSteal(
+        withBytesRead(sDx)(time(graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg"))))
+      val ((ivmWideFeedSec, ivmWideFeedBytes), stealIvmWideFeed) = withSteal(
         withBytesRead(sDx)(time(
           graft.lake.Ivm.sync(ivmTable, s"$work/ivm-agg-wide", sumCol = wideExpr))))
       Seq(s"$work/ivm-table", s"$work/ivm-cp", s"$work/ivm-agg", s"$work/ivm-agg-wide")
@@ -566,12 +594,16 @@ object Bench {
         s""""dedup_on_sec":${fmt(dedupOnSec)},"dedup_dropped_docs":$dedupDropped,""" +
         s""""dedup_upd_off_sec":${fmt(dedupUpdOffSec)},"dedup_upd_on_sec":${fmt(dedupUpdOnSec)},""" +
         s""""changelog_on_sec":${fmt(changelogOnSec)},""" +
+        s""""changelog_preimages_on_sec":${fmt(preimagesOnSec)},""" +
         s""""ivm_full_agg_sec":${fmt(ivmFullSec)},"ivm_inc_sync_sec":${fmt(ivmIncSec)},""" +
         s""""ivm_full_bytes_read":$ivmFullBytes,"ivm_inc_bytes_read":$ivmIncBytes,""" +
         s""""ivm_wide_full_agg_sec":${fmt(ivmWideFullSec)},"ivm_wide_inc_sync_sec":${fmt(ivmWideIncSec)},""" +
         s""""ivm_wide_full_bytes_read":$ivmWideFullBytes,"ivm_wide_inc_bytes_read":$ivmWideIncBytes,""" +
+        s""""ivm_feed_sync_sec":${fmt(ivmFeedSec)},"ivm_feed_bytes_read":$ivmFeedBytes,""" +
+        s""""ivm_wide_feed_sync_sec":${fmt(ivmWideFeedSec)},"ivm_wide_feed_bytes_read":$ivmWideFeedBytes,""" +
         s""""ivm_delta_docs":$ivmDeltaDocs,"ivm_table_docs":${cfg.nDocs},""" +
         s""""steal_jiffies_ivm":$stealIvm,"steal_jiffies_ivm_wide":$stealIvmWide,""" +
+        s""""steal_jiffies_ivm_feed":$stealIvmFeed,"steal_jiffies_ivm_wide_feed":$stealIvmWideFeed,""" +
         // machine-readable host quality: hypervisor-steal jiffy deltas
         // around each noise-sensitive rung (-1 = counter unavailable);
         // steal is strictly one-sided, so ~0 marks a trustworthy sample

@@ -173,6 +173,7 @@ object Main {
       deltaThreshold = spec.deltaThreshold,
       maxDeltaChain = spec.maxDeltaChain,
       changelog = spec.changelog,
+      preimages = spec.preimages,
       transform = spec.transformFn,
       quarantineDir = spec.quarantineDir,
       errorLimit = graft.apply.DirtyRouter.ErrorLimit(spec.errorRecordLimit, spec.errorPercentageLimit),

@@ -142,19 +142,94 @@ object BatchApply {
     * be replaced, not kept. Fenced retries keep the default — there the
     * final partition is the previously published truth and a staged
     * leftover is the debris. */
-  def publishChangelog(table: LakeTable, batchId: Long, replace: Boolean = false): Unit = {
+  def publishChangelog(table: LakeTable, batchId: Long, replace: Boolean = false): Unit =
+    publishStagedDir(table, stagedChangelog(table, batchId),
+      changelogPartition(table, batchId), replace, s"changelog batch $batchId")
+
+  private def publishStagedDir(table: LakeTable, stagedDir: String, finalDir: String,
+      replace: Boolean, what: String): Unit = {
     val conf = table.spark.sparkContext.hadoopConfiguration
-    val staged = new org.apache.hadoop.fs.Path(stagedChangelog(table, batchId))
-    val fin = new org.apache.hadoop.fs.Path(changelogPartition(table, batchId))
+    val staged = new org.apache.hadoop.fs.Path(stagedDir)
+    val fin = new org.apache.hadoop.fs.Path(finalDir)
     val fs = fin.getFileSystem(conf)
     if (fs.exists(fin) && replace && fs.exists(staged)) fs.delete(fin, true)
     if (fs.exists(fin)) {
       if (fs.exists(staged)) fs.delete(staged, true) // republish race debris
     } else if (fs.exists(staged)) {
       if (!fs.rename(staged, fin))
-        throw new IllegalStateException(s"changelog publish rename failed for batch $batchId")
+        throw new IllegalStateException(s"$what publish rename failed")
     }
   }
+
+  // ------------------------------------------------- pre-image delta feed
+
+  private def deltaFeedPartition(table: LakeTable, batchId: Long): String =
+    s"${table.root}/${LakeTable.DeltaFeedDir}/batch_id=$batchId"
+
+  private[graft] def stagedDeltaFeed(table: LakeTable, batchId: Long): String =
+    s"${table.root}/${LakeTable.DeltaFeedDir}/.staged-batch_id=$batchId"
+
+  /** STAGE the batch's signed pre/post-image rows
+    * ([[LakeTable.deltaFeedSchema]]) before the snapshot commit. The
+    * winner decision (`c.lsn > o._lsn`) is recomputed here against the
+    * same pinned snapshot the merge reads, so the staged rows are
+    * exactly the state transition the commit installs: a change that
+    * loses the merge emits NOTHING (the main feed still records it —
+    * that is why the main feed alone cannot drive an exact downstream
+    * delta). Cost: one extra resolved read of the touched buckets
+    * semi-joined to the batch's keys — O(touched buckets), the same
+    * order as the COW merge side; opt-in via `preimages = true`.
+    * Both signed sides are computed in ONE pass over the join (a
+    * filtered explode of two optional structs, not a self-union that
+    * would run the join twice). */
+  private def stageDeltaFeed(table: LakeTable, canonical: DataFrame,
+      snap: LakeTable.Snapshot, touched: Set[Int], batchId: Long): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val userSchema = snap.schema
+    val changeTypes = canonical.schema.fields.map(f => f.name -> f.dataType).toMap
+    val userType = userSchema.fields.map(f => f.name -> f.dataType).toMap
+    val old = table.readResolved(Some(touched), Some(snap))
+      .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val joined = canonical.as("c")
+      .join(old.as("o"), col("c.doc_id") === col("o.doc_id"), "left_outer")
+    val wins = col("o.doc_id").isNull || col("c.lsn") > col(s"o.${LakeTable.LsnCol}")
+    // pre-image side: the key existed LIVE before this batch and the
+    // batch's change wins the merge
+    def oc(n: String): Column =
+      if (userType.contains(n)) col(s"o.$n") else lit(null)
+    val preRow = struct(
+      col("c.doc_id").as("doc_id"), lit(-1).as("sign"),
+      col(s"o.${LakeTable.LsnCol}").as("lsn"),
+      oc("tokens").cast(ArrayType(IntegerType)).as("tokens"),
+      oc("n_tok").cast("long").as("n_tok"),
+      oc("source").cast("string").as("source"),
+      oc("lang").cast("string").as("lang"))
+    // post-image side: what the merge installs (cast to the TABLE's
+    // schema — the post row must equal the row a direct read serves)
+    def cc(n: String): Column =
+      if (userType.contains(n))
+        graft.lake.SchemaCompat.castTo(col(s"c.$n"), changeTypes(n), userType(n))
+      else lit(null)
+    val postRow = struct(
+      col("c.doc_id").as("doc_id"), lit(1).as("sign"), col("c.lsn").as("lsn"),
+      cc("tokens").cast(ArrayType(IntegerType)).as("tokens"),
+      cc("n_tok").cast("long").as("n_tok"),
+      cc("source").cast("string").as("source"),
+      cc("lang").cast("string").as("lang"))
+    val sides = array(
+      when(wins && col("o.doc_id").isNotNull && !col(s"o.${LakeTable.DeletedCol}"), preRow),
+      when(wins && col("c.op") =!= "D", postRow))
+    joined
+      .select(explode(filter(sides, x => x.isNotNull)).as("r"))
+      .select(col("r.*"))
+      .write.mode("overwrite").parquet(stagedDeltaFeed(table, batchId))
+  }
+
+  /** Publish a staged delta-feed partition (same atomic-rename
+    * discipline and crash-window healing as [[publishChangelog]]). */
+  def publishDeltaFeed(table: LakeTable, batchId: Long, replace: Boolean = false): Unit =
+    publishStagedDir(table, stagedDeltaFeed(table, batchId),
+      deltaFeedPartition(table, batchId), replace, s"delta-feed batch $batchId")
 
   /** Apply one micro-batch. Returns the committed (or current, if fenced)
     * snapshot.
@@ -171,14 +246,18 @@ object BatchApply {
       assumeOrdered: Boolean = false,
       deltaThreshold: Double = DefaultDeltaThreshold,
       maxDeltaChain: Int = DefaultMaxDeltaChain,
-      changelog: Boolean = false): LakeTable.Snapshot = {
+      changelog: Boolean = false,
+      preimages: Boolean = false): LakeTable.Snapshot = {
     val snap = table.current
     if (batchId >= 0 && batchId <= snap.batchId) {
-      if (changelog && batchId == snap.batchId) publishChangelog(table, batchId)
+      if (changelog && batchId == snap.batchId) {
+        publishChangelog(table, batchId)
+        if (preimages) publishDeltaFeed(table, batchId)
+      }
       return snap
     }
     applyCanonical(table, prepare(table, batch, saltBuckets, assumeOrdered),
-      batchId, deltaThreshold, maxDeltaChain, changelog)
+      batchId, deltaThreshold, maxDeltaChain, changelog, preimages)
   }
 
   /** The batch's single shuffle: optional ordered-input watermark fence,
@@ -203,7 +282,8 @@ object BatchApply {
   def applyCanonical(table: LakeTable, canonicalIn: DataFrame, batchId: Long,
       deltaThreshold: Double = DefaultDeltaThreshold,
       maxDeltaChain: Int = DefaultMaxDeltaChain,
-      changelog: Boolean = false): LakeTable.Snapshot = {
+      changelog: Boolean = false,
+      preimages: Boolean = false): LakeTable.Snapshot = {
     var snap = table.current
     // ---- exactly-once fence: retry of an already-committed batch.
     //      With the feed enabled, the only changelog work possibly left
@@ -211,7 +291,10 @@ object BatchApply {
     //      before that batch's commit; a crash between commit and
     //      publish leaves it staged) — heal with the same atomic rename.
     if (batchId >= 0 && batchId <= snap.batchId) {
-      if (changelog && batchId == snap.batchId) publishChangelog(table, batchId)
+      if (changelog && batchId == snap.batchId) {
+        publishChangelog(table, batchId)
+        if (preimages) publishDeltaFeed(table, batchId)
+      }
       return snap
     }
 
@@ -343,12 +426,14 @@ object BatchApply {
       //      rename — a metadata op on the already-staged content,
       //      never a recomputation.
       if (changelog) stageChangelog(table, canonical, batchId)
+      if (changelog && preimages) stageDeltaFeed(table, canonical, snap, touched, batchId)
       val committed =
         table.commit(cowFiles ++ deltaFiles, cowBuckets, batchId, watermarks, lineage, snap.version)
       // replace: this process just committed batchId, so the staged dir
       // is authoritative — a pre-existing final partition is a stale
       // orphan of an interrupted rollback and must not win
       if (changelog) publishChangelog(table, batchId, replace = true)
+      if (changelog && preimages) publishDeltaFeed(table, batchId, replace = true)
       committed
     } finally canonical.unpersist(false)
   }

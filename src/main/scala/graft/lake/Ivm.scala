@@ -1,77 +1,109 @@
 package graft.lake
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Incremental view maintenance (IVM) — a CDC CONSUMER that keeps a
  * downstream grouped aggregate (`GROUP BY grp: count(*), sum(sumCol)`)
  * in sync with a lake table WITHOUT re-aggregating the table: each
- * `sync` advances the aggregate from the table's change feed in work
- * proportional to the CHANGED keys, not the table.
+ * `sync` advances the aggregate in work proportional to the CHANGED
+ * rows, not the table.
  *
  * This is the materialized-view half of the change-data-feed story
  * (q62 produces the feed; this consumes it): at 10^10 rows where a day
- * touches 2% of keys, the nightly roll-up costs ~2% of buckets, not a
+ * touches 2% of keys, the nightly roll-up costs ~2% of the rows, not a
  * full pass.
  *
- * How a delta is computed exactly (no pre-images in the feed needed):
+ * Two delta regimes, chosen per sync:
  *
- *   1. `K` = distinct changed keys since the last sync, from
- *      `readChanges(syncedBatchId)` — the feed partitions are
- *      batch-id-pruned, so this reads only the new batches.
- *   2. old contribution = rows of K at the SYNCED snapshot;
- *      new contribution = rows of K at the CURRENT snapshot (pinned at
- *      entry — concurrent commits shift neither side). Two regimes by
- *      |K| (the readKeys / LshIndex.PointLookupMax discipline):
- *      bounded K (≤ `keyLookupMax`) collects the keys and reads via
- *      [[LakeTable.readKeys]] — manifest bucket pruning + pushed
- *      `In(doc_id,…)` + row-group skipping on the doc_id-SORTED data
- *      files, so cost ∝ changed row groups even when hash-scattered
- *      keys touch every bucket; unbounded K keeps the keys
- *      distributed — both reads are pruned to K's bucket set
- *      (`readResolved(buckets)`; only the ≤ nBuckets-int bucket SET is
- *      collected) and K rides a join.
- *   3. delta per group = sum(new) − sum(old); merged into the stored
- *      aggregate with a null-safe full-outer join; groups whose count
- *      reaches zero are dropped.
+ *   - **Pure-feed (preferred)**: when the table was replayed with
+ *     `changelog = true, preimages = true`, every applied batch also
+ *     published SIGNED pre/post-image rows
+ *     ([[LakeTable.readDeltaChanges]]). The per-group delta is then ONE
+ *     aggregation of the feed partitions in `(synced, current]` —
+ *     ZERO table reads, no key-set materialization, no snapshot joins.
+ *     The telescoping algebra: each batch's signed rows sum to (state
+ *     after − state before), so the range sums to exactly the state
+ *     delta between the two fences.
+ *   - **Snapshot-diff (fallback)**: without pre-images, the changed
+ *     KEYS come from the main feed ([[LakeTable.readChanges]] —
+ *     batch-id-pruned) and both pinned snapshots are read at those
+ *     keys: bounded key sets (≤ `keyLookupMax`) take the
+ *     [[LakeTable.readKeys]] point-lookup path (manifest bucket
+ *     pruning + pushed `In` + row-group skipping on the doc_id-sorted
+ *     files); unbounded sets stay distributed and ride a
+ *     bucket-set-pruned join. Exact for every case the pure-feed path
+ *     handles, at the cost of two table reads per sync.
  *
- * A key changed then changed back contributes zero; a key changed in a
- * batch AFTER the pinned snapshot may enter K (the feed is re-listed
- * live) but contributes zero too — both sides read it at pinned
- * versions. So `sync` always lands the aggregate exactly at the pinned
- * snapshot's state (spec-asserted against a direct groupBy).
+ * Store (the fix for the round-4 caveats — single-task publish, reader
+ * heal race, missing fence): the aggregate lives under `aggDir` as a
+ * MANIFEST-VERSIONED bucketed parquet store:
  *
- * Store: `aggDir/state/` parquet + `_meta.json` INSIDE the same dir
- * (underscore-prefixed — invisible to the parquet scan), so one atomic
- * dir rename publishes rows and watermark together; a crash mid-swap
- * leaves `state` or `state.old` findable and the next access heals it
- * (the [[graft.operators.LshIndex.swapRewrite]] discipline).
+ *   - state rows are hash-bucketed by `pb = pmod(hash(grp),
+ *     stateBuckets)` and written under `data-<uuid>/pb=<j>/`; a sync
+ *     rewrites ONLY the buckets containing changed groups (the lake
+ *     table's own bucket-COW discipline, one level down) and the new
+ *     manifest maps unchanged buckets to their existing data dirs —
+ *     a high-cardinality view no longer funnels through one task.
+ *   - `manifest-v<N>.json` is published CREATE-EXCLUSIVE (the
+ *     [[graft.sources.KeyedSink]] / LakeTable snapshot version-CAS):
+ *     two concurrent syncs race to create the same next version and
+ *     exactly one wins — the loser deletes its data dir and throws
+ *     LOUDLY. Readers list manifests and serve the max version; they
+ *     never rename anything, so the round-4 reader/writer heal race
+ *     (ADVICE r04) is gone by construction. Crash debris (a data dir
+ *     whose manifest never landed) is invisible and swept by the next
+ *     successful publish.
+ *   - an optional [[WriterLease]] threads through like every other
+ *     mutable store (entry + pre-publish checks); the CAS alone
+ *     already excludes silent interleaving, the lease turns a zombie
+ *     writer's wasted work into a loud early abort.
  *
- * Contracts: the table must be replayed with `changelog=true`
- * (readChanges raises otherwise, its own curated error), and syncs
- * must happen within the feed's retention window
- * (`changelogRetainBatches` vacuum) — the standard CDC-consumer lag
- * contract; past it, drop the store and re-init (full aggregate).
- * `grp` may be null-valued (null-safe merge join); `sumCol` must be
- * castable to long and must exist at the synced-from schema (additive
- * evolution that ADDS either column needs a re-init, since the old
- * snapshot cannot serve it).
+ * Exactness including SQL null semantics: the store keeps
+ * (cnt, nnz, sum0) per group — row count, count of non-null summed
+ * values, and the null-coalesced sum — and renders
+ * `sum_val = CASE WHEN nnz = 0 THEN NULL ELSE sum0 END`, so a group
+ * whose summed values are all null serves NULL exactly like the direct
+ * aggregate, on both the init and every incremental path (the round-4
+ * store represented this case differently per path).
+ *
+ * Contracts: the table must be replayed with `changelog=true` (the
+ * fallback raises readChanges' curated error otherwise; the fast path
+ * additionally needs `preimages=true` over the whole unsynced range —
+ * mixed ranges fall back automatically), and syncs must happen within
+ * the feed's retention window (`changelogRetainBatches` vacuum) — the
+ * standard CDC-consumer lag contract; past it, drop the store and
+ * re-init. `grp` may be null-valued (null-safe merge join); `sumCol`
+ * is any SQL expression castable to long over the table's columns.
  *
  * Reference analog: DataX has no incremental consumers — each job is a
  * full copy; this is what its users script around with `where`
  * windows (`mysqlreader/doc/mysqlreader.md` querySql incremental
- * pattern), done exactly instead.
+ * pattern), done exactly instead. The pre-image rows themselves are
+ * the engine-side rendering of otsstreamreader's multi-version cell
+ * replay (`MultiVerModeRecordSender.java:40-133`).
  */
 object Ivm {
 
-  private case class SyncMeta(version: Long, batchId: Long)
+  private case class Meta(version: Long, batchId: Long, nb: Int,
+      grpDdl: String, parts: Map[Int, String])
 
-  /** Changed-key count up to which the sync collects the key set and
-    * takes the readKeys point-lookup path (pushed In + row-group
-    * skipping); above it the keys stay distributed and ride a join. */
+  /** Changed-key count up to which the snapshot-diff fallback collects
+    * the key set and takes the readKeys point-lookup path (pushed In +
+    * row-group skipping); above it the keys stay distributed and ride
+    * a join. */
   val DefaultKeyLookupMax = 65536
+
+  /** Default state-bucket count: the unit of state rewrite per sync.
+    * Sized like the lake table's buckets — enough that one sync's
+    * changed groups touch a strict subset, few enough that the
+    * manifest stays a trivial driver object. */
+  val DefaultStateBuckets = 16
+
+  private def pbCol(grp: Column, nb: Int): Column =
+    pmod(hash(grp), lit(nb)).cast("int")
 
   /** Advance `aggDir` to the table's current snapshot and return the
     * aggregate rows (grp, cnt, sum_val). First call does the one full
@@ -79,63 +111,102 @@ object Ivm {
     * incremental; a call with nothing new is a no-op read. */
   def sync(table: LakeTable, aggDir: String,
       grp: String = "source", sumCol: String = "n_tok",
-      keyLookupMax: Int = DefaultKeyLookupMax): DataFrame = {
+      keyLookupMax: Int = DefaultKeyLookupMax,
+      stateBuckets: Int = DefaultStateBuckets,
+      lease: Option[WriterLease] = None): DataFrame = {
     val spark = table.spark
+    WriterLease.guard(spark, aggDir, lease)
     val cur = table.current
-    heal(spark, aggDir)
     readMeta(spark, aggDir) match {
       case Some(m) if m.version >= cur.version =>
         readAgg(spark, aggDir)
       case None =>
         val full = contrib(table.read(Some(cur)), grp, sumCol)
           .groupBy(col(grp))
-          .agg(sum(col("s")).as("cnt"), sum(col("s") * col("v")).as("sum_val"))
-        publish(spark, aggDir, full, SyncMeta(cur.version, cur.batchId))
+          .agg(sum(col("s")).as("cnt"),
+            sum((col("v").isNotNull.cast("long")) * col("s")).as("nnz"),
+            coalesce(sum(col("s") * col("v")), lit(0L)).as("sum0"))
+        publish(spark, aggDir, full, grp, stateBuckets,
+          cur.version, cur.batchId, prev = None, changedPbs = None, lease)
         readAgg(spark, aggDir)
       case Some(m) =>
-        val oldSnap = table.snapshotAt(m.version)
-        // persisted: consumed by two bucket-set aggregates + two joins
-        val changed = table.readChanges(m.batchId).select(col("doc_id")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // bounded-|K| probe: limit+1 detects overflow without counting
-        val localKeys = changed.limit(keyLookupMax + 1).collect().map(_.get(0))
-        // rows of the changed keys at one pinned snapshot. Point-lookup
-        // regime: readKeys = manifest bucket pruning + pushed In +
-        // row-group skipping on the doc_id-sorted files (cost ∝ changed
-        // row groups even when hash-scattered keys touch every bucket).
-        // Join regime (|K| over the bound): bucket-set pruning only —
-        // K's BUCKET SET (≤ nBuckets ints) is all that lands driver-side
-        def rowsAt(s: LakeTable.Snapshot, sign: Long): DataFrame = {
-          val rows = if (localKeys.length <= keyLookupMax) {
-            if (localKeys.isEmpty) table.read(Some(s)).limit(0)
-            else table.readKeys(localKeys.toIndexedSeq, Some(s))
+        val (rows, release) = deltaRows(table, m, cur, grp, sumCol, keyLookupMax)
+        try {
+          val delta = rows
+            .groupBy(col(grp))
+            .agg(sum(col("s")).as("dcnt"),
+              sum((col("v").isNotNull.cast("long")) * col("s")).as("dnnz"),
+              coalesce(sum(col("s") * col("v")), lit(0L)).as("dsum"))
+          // bucket set of the changed groups: bounded by the state-bucket
+          // count (≤ m.nb ints) — the only driver-side materialization
+          val changedPbs = delta.select(pbCol(col(grp), m.nb).as("pb"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          if (changedPbs.isEmpty) {
+            // no net group change (metadata-only advance, or a range
+            // whose changes all lost the merge / cancelled out):
+            // nothing to rewrite, just move the watermark forward
+            publishMetaOnly(spark, aggDir, m, cur.version, cur.batchId, lease)
           } else {
-            val bs = changed
-              .select(LakeTable.bucketExpr(col("doc_id"), s.nBuckets).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSet
-            if (bs.isEmpty)
-              table.read(Some(s)).limit(0)
-            else
-              table.readResolved(Some(bs), Some(s))
-                .filter(!col(LakeTable.DeletedCol))
-                .join(changed, Seq("doc_id"))
+            val stored = readStateParts(spark, aggDir, m,
+              m.parts.keySet.intersect(changedPbs))
+            val merged = stored.as("a")
+              .join(delta.as("d"), col(s"a.$grp") <=> col(s"d.$grp"), "full_outer")
+              .select(
+                coalesce(col(s"a.$grp"), col(s"d.$grp")).as(grp),
+                (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("d.dcnt"), lit(0L))).as("cnt"),
+                (coalesce(col("a.nnz"), lit(0L)) + coalesce(col("d.dnnz"), lit(0L))).as("nnz"),
+                (coalesce(col("a.sum0"), lit(0L)) + coalesce(col("d.dsum"), lit(0L))).as("sum0"))
+              .filter(col("cnt") > 0)
+            publish(spark, aggDir, merged, grp, m.nb,
+              cur.version, cur.batchId, prev = Some(m), changedPbs = Some(changedPbs), lease)
           }
-          contrib(rows, grp, sumCol, sign)
-        }
-        val delta = rowsAt(cur, 1L).unionByName(rowsAt(oldSnap, -1L))
-          .groupBy(col(grp))
-          .agg(sum(col("s")).as("dcnt"), sum(col("s") * col("v")).as("dsum"))
-        val stored = readAgg(spark, aggDir)
-        val merged = stored.as("a")
-          .join(delta.as("d"), col(s"a.$grp") <=> col(s"d.$grp"), "full_outer")
-          .select(
-            coalesce(col(s"a.$grp"), col(s"d.$grp")).as(grp),
-            (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("d.dcnt"), lit(0L))).as("cnt"),
-            (coalesce(col("a.sum_val"), lit(0L)) + coalesce(col("d.dsum"), lit(0L))).as("sum_val"))
-          .filter(col("cnt") > 0)
-        try publish(spark, aggDir, merged, SyncMeta(cur.version, cur.batchId))
-        finally changed.unpersist()
+        } finally release()
         readAgg(spark, aggDir)
+    }
+  }
+
+  /** Signed per-row contributions (grp, s, v) of the unsynced range —
+    * pure-feed when the delta feed covers it, snapshot-diff otherwise
+    * — plus a release hook for the fallback's persisted key set. A
+    * feed hole past the retention cutoff behaves identically on both
+    * paths (silent miss — the documented consumer-lag contract), so
+    * coverage is exactly [[LakeTable.deltaFeedCovers]]'s listing test:
+    * delta partitions for the same batch ids the main feed has. */
+  private def deltaRows(table: LakeTable, m: Meta, cur: LakeTable.Snapshot,
+      grp: String, sumCol: String, keyLookupMax: Int): (DataFrame, () => Unit) = {
+    val feedIds = table.readChanges(m.batchId) // raises the curated no-changelog error
+    if (table.deltaFeedCovers(m.batchId)) {
+      // ---- FAST PATH: one aggregation of the signed feed rows; ZERO
+      //      table reads. `sign` IS the contribution sign.
+      (table.readDeltaChanges(m.batchId)
+        .select(col(grp), col("sign").cast("long").as("s"),
+          expr(sumCol).cast("long").as("v")), () => ())
+    } else {
+      // ---- FALLBACK: changed keys from the main feed, both pinned
+      //      snapshots read at those keys (point-lookup or join regime)
+      val oldSnap = table.snapshotAt(m.version)
+      // persisted: consumed by the bucket-set probe + two joins
+      val changed = feedIds.select(col("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val localKeys = changed.limit(keyLookupMax + 1).collect().map(_.get(0))
+      def rowsAt(s: LakeTable.Snapshot, sign: Long): DataFrame = {
+        val rows = if (localKeys.length <= keyLookupMax) {
+          if (localKeys.isEmpty) table.read(Some(s)).limit(0)
+          else table.readKeys(localKeys.toIndexedSeq, Some(s))
+        } else {
+          val bs = changed
+            .select(LakeTable.bucketExpr(col("doc_id"), s.nBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          if (bs.isEmpty)
+            table.read(Some(s)).limit(0)
+          else
+            table.readResolved(Some(bs), Some(s))
+              .filter(!col(LakeTable.DeletedCol))
+              .join(changed, Seq("doc_id"))
+        }
+        contrib(rows, grp, sumCol, sign)
+      }
+      (rowsAt(cur, 1L).unionByName(rowsAt(oldSnap, -1L)), () => { changed.unpersist(); () })
     }
   }
 
@@ -144,76 +215,190 @@ object Ivm {
     * (`"n_tok"`) or a computation over wide payload columns
     * (`"aggregate(tokens, 0L, (a, x) -> a + x)"`); the expression is
     * evaluated identically at both pinned snapshots, so the delta
-    * algebra is unchanged. `s*v` is null when it evaluates null —
-    * sum() skips it on both sides identically. */
+    * algebra is unchanged. */
   private def contrib(rows: DataFrame, grp: String, sumCol: String,
       sign: Long = 1L): DataFrame =
     rows.select(col(grp), lit(sign).as("s"), expr(sumCol).cast("long").as("v"))
 
-  /** The maintained aggregate (grp, cnt, sum_val) as last published. */
+  /** The maintained aggregate (grp, cnt, sum_val) as last published.
+    * `sum_val` is NULL for a group whose summed values were all null —
+    * exactly the direct aggregate's SQL semantics. */
   def readAgg(spark: SparkSession, aggDir: String): DataFrame = {
-    heal(spark, aggDir)
-    val live = new Path(aggDir, "state")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(live), s"no IVM state under $aggDir — run sync first")
-    spark.read.parquet(live.toString)
+    val m = readMeta(spark, aggDir).getOrElse(
+      throw new IllegalStateException(s"no IVM state under $aggDir — run sync first"))
+    val grpName = m.grpDdl.trim.split("\\s+")(0).stripPrefix("`").stripSuffix("`")
+    readStateParts(spark, aggDir, m, m.parts.keySet)
+      .select(col(grpName), col("cnt"),
+        when(col("nnz") === 0, lit(null).cast("long"))
+          .otherwise(col("sum0")).as("sum_val"))
   }
 
   /** The batch id the store is synced through (-1 = never synced) —
     * what a monitoring job compares against `table.current.batchId`
-    * to measure consumer lag. */
-  def syncedBatchId(spark: SparkSession, aggDir: String): Long = {
-    heal(spark, aggDir)
+    * to measure consumer lag. Read-only: never mutates the store, so
+    * it is safe to call concurrently with a running sync. */
+  def syncedBatchId(spark: SparkSession, aggDir: String): Long =
     readMeta(spark, aggDir).map(_.batchId).getOrElse(-1L)
-  }
+
+  /** Test hook: the current manifest's pb -> data-dir mapping (which
+    * state buckets each sync actually rewrote). */
+  private[graft] def manifestParts(spark: SparkSession, aggDir: String): Map[Int, String] =
+    readMeta(spark, aggDir).map(_.parts).getOrElse(Map.empty)
 
   // ----------------------------------------------------------- store I/O
 
-  private def metaPath(dir: Path) = new Path(dir, "_meta.json")
+  private val ManifestRe = """manifest-v(\d+)\.json""".r
 
-  private def readMeta(spark: SparkSession, aggDir: String): Option[SyncMeta] = {
-    val live = new Path(aggDir, "state")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath(live))) return None
-    val in = fs.open(metaPath(live))
+  private def manifestVersions(spark: SparkSession, aggDir: String): Seq[Long] = {
+    val root = new Path(aggDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.toSeq.sorted
+  }
+
+  private def manifestPath(aggDir: String, v: Long): Path =
+    new Path(aggDir, f"manifest-v$v%08d.json")
+
+  private def readMeta(spark: SparkSession, aggDir: String): Option[Meta] = {
+    val vs = manifestVersions(spark, aggDir)
+    if (vs.isEmpty) return None
+    val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(manifestPath(aggDir, vs.max))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val j = org.json4s.jackson.JsonMethods.parse(txt)
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    Some(SyncMeta(
+    Some(Meta(
       (j \ "version").extract[Long],
-      (j \ "batchId").extract[Long]))
+      (j \ "batchId").extract[Long],
+      (j \ "nb").extract[Int],
+      (j \ "grpDdl").extract[String],
+      (j \ "parts").extract[Map[String, String]].map { case (k, v) => k.toInt -> v }))
   }
 
-  /** Write rows + meta to `state.tmp`, publish with the two-rename
-    * swap ([[heal]] closes the crash window). */
-  private def publish(spark: SparkSession, aggDir: String,
-      rows: DataFrame, m: SyncMeta): Unit = {
-    val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(aggDir, "state")
-    val tmp = new Path(aggDir, "state.tmp")
-    val old = new Path(aggDir, "state.old")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val out = fs.create(metaPath(tmp), true)
-    out.write(s"""{"version":${m.version},"batchId":${m.batchId}}""".getBytes("UTF-8"))
-    out.close()
-    if (fs.exists(live) && !fs.rename(live, old))
-      throw new IllegalStateException(s"ivm: store swap failed for $live")
-    if (!fs.rename(tmp, live))
-      throw new IllegalStateException(s"ivm: store swap failed for $live")
-    fs.delete(old, true)
+  /** State rows (grp, cnt, nnz, sum0) of the given buckets, read from
+    * the data dirs the manifest maps them to (directory-pruned: each
+    * referenced dir is read once, filtered to ITS buckets). */
+  private def readStateParts(spark: SparkSession, aggDir: String, m: Meta,
+      pbs: Set[Int]): DataFrame = {
+    val grpName = m.grpDdl.trim.split("\\s+")(0).stripPrefix("`").stripSuffix("`")
+    val byDir = m.parts.filter { case (pb, _) => pbs(pb) }
+      .groupBy(_._2).view.mapValues(_.keySet).toMap
+    val frames = byDir.toSeq.sortBy(_._1).map { case (dirName, dirPbs) =>
+      spark.read.option("basePath", s"$aggDir/$dirName")
+        .parquet(s"$aggDir/$dirName")
+        .filter(col("pb").isin(dirPbs.toSeq.map(Integer.valueOf): _*))
+        .select(col(grpName), col("cnt"), col("nnz"), col("sum0"))
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        s"${m.grpDdl}, cnt BIGINT, nnz BIGINT, sum0 BIGINT")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
-  /** Crash heal: `state` missing but `state.old` present means the
-    * swap's second rename never ran — `.old` IS the live store. */
-  private def heal(spark: SparkSession, aggDir: String): Unit = {
+  /** Write the given state rows (all buckets on init, changed buckets
+    * on sync) into a fresh `data-<uuid>` dir partitioned by pb, then
+    * CAS-publish the next manifest mapping changed buckets to the new
+    * dir and unchanged buckets to their existing dirs. On a CAS loss
+    * the new data dir is deleted and the loser throws. After a win,
+    * superseded manifests and unreferenced data dirs are swept. */
+  private def publish(spark: SparkSession, aggDir: String, rows: DataFrame,
+      grp: String, nb: Int, version: Long, batchId: Long,
+      prev: Option[Meta], changedPbs: Option[Set[Int]],
+      lease: Option[WriterLease]): Unit = {
     val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(aggDir, "state")
-    val old = new Path(aggDir, "state.old")
-    if (!fs.exists(live) && fs.exists(old)) {
-      if (!fs.rename(old, live))
-        throw new IllegalStateException(s"ivm: crash-heal rename failed for $live")
+    val dirName = s"data-${java.util.UUID.randomUUID().toString.take(8)}"
+    val grpDdl = prev.map(_.grpDdl).getOrElse {
+      val f = rows.schema.fields.find(_.name == grp).get
+      s"`${f.name}` ${f.dataType.sql}"
+    }
+    rows.withColumn("pb", pbCol(col(grp), nb))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").parquet(s"$aggDir/$dirName")
+    // which buckets actually hold rows now (a changed bucket whose
+    // groups all went extinct writes no dir and leaves the manifest)
+    val written = fs.listStatus(new Path(aggDir, dirName))
+      .map(_.getPath.getName).filter(_.startsWith("pb="))
+      .map(_.stripPrefix("pb=").toInt).toSet
+    val parts = prev match {
+      case None => written.map(_ -> dirName).toMap
+      case Some(p) =>
+        (p.parts -- changedPbs.getOrElse(Set.empty)) ++ written.map(_ -> dirName).toMap
+    }
+    WriterLease.guard(spark, aggDir, lease) // pre-publish fence re-check
+    val nextV = manifestVersions(spark, aggDir).lastOption.getOrElse(0L) + 1L
+    val body = manifestJson(version, batchId, nb, grpDdl, parts)
+    try casWrite(spark, aggDir, nextV, body)
+    catch { case e: IllegalStateException =>
+      // CAS loss: the unreferenced data dir would leak — reclaim it
+      fs.delete(new Path(aggDir, dirName), true)
+      throw e
+    }
+    sweep(fs, aggDir, nextV, parts.values.toSet)
+  }
+
+  /** Metadata-only advance: same CAS, previous parts carried over. */
+  private def publishMetaOnly(spark: SparkSession, aggDir: String, m: Meta,
+      version: Long, batchId: Long, lease: Option[WriterLease]): Unit = {
+    val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WriterLease.guard(spark, aggDir, lease)
+    val nextV = manifestVersions(spark, aggDir).lastOption.getOrElse(0L) + 1L
+    casWrite(spark, aggDir, nextV, manifestJson(version, batchId, m.nb, m.grpDdl, m.parts))
+    sweep(fs, aggDir, nextV, m.parts.values.toSet)
+  }
+
+  private def manifestJson(version: Long, batchId: Long, nb: Int,
+      grpDdl: String, parts: Map[Int, String]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      ("version" -> version) ~ ("batchId" -> batchId) ~ ("nb" -> nb) ~
+        ("grpDdl" -> grpDdl) ~
+        ("parts" -> parts.map { case (k, v) => k.toString -> v })))
+  }
+
+  /** The version-CAS arm: create-exclusive on the next manifest — two
+    * publishers racing to the same version produce exactly one winner;
+    * the loser throws LOUDLY and never clobbers (spec-driven, the
+    * [[graft.lake.LakeTable.writeSnapshot]] discipline). */
+  private[graft] def casWrite(spark: SparkSession, aggDir: String, v: Long,
+      body: String): Unit = {
+    val fs = new Path(aggDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = try fs.create(manifestPath(aggDir, v), false) catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"ivm publish race on $aggDir v$v (concurrent sync advanced the store)", e)
+    }
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** After a successful publish of `keepV`: drop manifests older than
+    * the previous one (kept for a reader that resolved it just before
+    * the CAS) and data dirs referenced by neither of the two retained
+    * manifests — crash debris and superseded bucket versions. */
+  private def sweep(fs: org.apache.hadoop.fs.FileSystem, aggDir: String,
+      keepV: Long, liveDirs: Set[String]): Unit = {
+    val root = new Path(aggDir)
+    val prevParts: Set[String] = {
+      val p = manifestPath(aggDir, keepV - 1)
+      if (keepV <= 1 || !fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        (org.json4s.jackson.JsonMethods.parse(txt) \ "parts")
+          .extract[Map[String, String]].values.toSet
+      }
+    }
+    val keep = liveDirs ++ prevParts
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case ManifestRe(v) if v.toLong < keepV - 1 => fs.delete(st.getPath, false)
+        case _ if n.startsWith("data-") && !keep(n) => fs.delete(st.getPath, true)
+        case _ => ()
+      }
     }
   }
 }

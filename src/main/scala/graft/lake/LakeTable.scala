@@ -93,6 +93,21 @@ object LakeTable {
     * [[LakeTable.compactChangelog]]). */
   val RangedFeedPrefix = ".ranged-"
 
+  /** Subdirectory holding the opt-in PRE-IMAGE DELTA feed (one
+    * `batch_id=N/` parquet partition per applied micro-batch, written
+    * only with `changelog = true, preimages = true` — see
+    * [[graft.apply.BatchApply]]): signed state-change rows that make a
+    * downstream aggregate's delta computable from the feed ALONE
+    * (sign=-1 carries the pre-image of a row an applied change
+    * replaced or deleted, sign=+1 the post-image it installed; a
+    * change that LOSES the lsn merge emits neither). This is the
+    * Debezium `before`/`after` envelope pair and Delta CDF's
+    * `update_preimage`/`update_postimage` rows, rendered as signed
+    * rows — the reference's own analog is otsstreamreader's
+    * multi-version cell rendering (`MultiVerModeRecordSender.java:
+    * 40-133`), which likewise replays old cell values. */
+  val DeltaFeedDir = "changelog_delta"
+
   /** Schema of [[LakeTable.readChanges]] rows: the staged feed columns
     * (see `BatchApply.stageChangelog`'s projection) plus the `batch_id`
     * partition column Spark appends last (partition-value inference
@@ -104,6 +119,20 @@ object LakeTable {
       StructField("lsn", LongType), StructField("tokens", ArrayType(IntegerType)),
       StructField("n_tok", LongType), StructField("source", StringType),
       StructField("lang", StringType), StructField("shard", IntegerType),
+      StructField("batch_id", IntegerType)))
+  }
+
+  /** Schema of [[LakeTable.readDeltaChanges]] rows: the payload columns
+    * at the table's EVOLVED shape (n_tok already widened, lang present
+    * — pre-images of pre-evolution rows carry null lang), a signed
+    * contribution marker, and the `batch_id` partition column. */
+  val deltaFeedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", StringType), StructField("sign", IntegerType),
+      StructField("lsn", LongType), StructField("tokens", ArrayType(IntegerType)),
+      StructField("n_tok", LongType), StructField("source", StringType),
+      StructField("lang", StringType),
       StructField("batch_id", IntegerType)))
   }
 
@@ -566,6 +595,59 @@ class LakeTable(val spark: SparkSession, val root: String) {
     all.filter(col("batch_id") > sinceBatchId && col("batch_id") <= current.batchId)
   }
 
+  /** PRE-IMAGE DELTA READ — signed state-change rows of every batch in
+    * `(sinceBatchId, current.batchId]` (see [[LakeTable.DeltaFeedDir]]).
+    * The telescoping property that makes this the zero-table-read IVM
+    * input: summing a batch's signed rows gives exactly (state after
+    * batch) − (state before batch), so summing the range gives the
+    * state delta between the two batch fences — stale changes that
+    * lost the lsn merge emit nothing and self-cancelling flip-flops
+    * telescope away. Same staged/publish/fence discipline as
+    * [[readChanges]]. Check [[deltaFeedCovers]] before relying on it:
+    * the feed is opt-in per batch, and a range with holes must fall
+    * back to the snapshot-diff path. */
+  def readDeltaChanges(sinceBatchId: Long = -1L): DataFrame = {
+    val dir = new Path(root, LakeTable.DeltaFeedDir)
+    val cols = LakeTable.deltaFeedSchema.fieldNames.map(col).toIndexedSeq
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LakeTable.deltaFeedSchema)
+    if (!fs.exists(dir) ||
+      !fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch_id=")))
+      return empty
+    // explicit schema: skips the footer-merge schema inference over
+    // every partition — the fixed cost that would grow with feed age
+    spark.read.schema(LakeTable.deltaFeedSchema)
+      .option("basePath", dir.toString).parquet(dir.toString)
+      .select(cols: _*)
+      .filter(col("batch_id") > sinceBatchId && col("batch_id") <= current.batchId)
+  }
+
+  /** Published batch ids under a feed dir (driver listing, O(dirs)). */
+  private def feedBatchIds(dirName: String): Set[Long] = {
+    val dir = new Path(root, dirName)
+    if (!fs.exists(dir)) return Set.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).toSet
+  }
+
+  /** Does the pre-image delta feed cover every applied batch in
+    * `(sinceBatchId, current.batchId]`? True when the delta feed has a
+    * partition for exactly the batches the MAIN feed has in range (the
+    * main feed writes one partition per applied batch whenever the
+    * changelog is on — which [[graft.lake.Ivm]] requires anyway) and
+    * none of the range is buried in a compacted ranged store (whose
+    * per-batch dirs are gone — enumeration would be O(rows)). */
+  def deltaFeedCovers(sinceBatchId: Long): Boolean = {
+    val coveredHi = rangedFeedDirs().lastOption.map(_._2).getOrElse(-1L)
+    if (coveredHi > sinceBatchId) return false
+    val hi = current.batchId
+    val inRange = (b: Long) => b > sinceBatchId && b <= hi
+    val main = feedBatchIds(ChangelogDir).filter(inRange)
+    val delta = feedBatchIds(LakeTable.DeltaFeedDir).filter(inRange)
+    main == delta
+  }
+
   /** Ranged feed stores under changelog/ — `.ranged-<lo>-<hi>` dot-dirs
     * (hidden from the partitioned parquet read), sorted by (hi, lo):
     * the LAST entry is the live store. Driver-side listing of one
@@ -915,13 +997,15 @@ class LakeTable(val spark: SparkSession, val root: String) {
     // AFTER the commit point: orphaned future feed partitions (a crash
     // here leaves them — hidden by the read fence, replaced by the
     // publish path's replace flag when their batch id is re-applied)
-    if (hasFeed) fs.listStatus(clDir).foreach { st =>
-      val n = st.getPath.getName
-      val b =
-        if (n.startsWith("batch_id=")) Some(n.stripPrefix("batch_id=").toLong)
-        else if (n.startsWith(".staged-batch_id=")) Some(n.stripPrefix(".staged-batch_id=").toLong)
-        else None
-      if (b.exists(_ > tgt.batchId)) fs.delete(st.getPath, true)
+    Seq(clDir, new Path(root, LakeTable.DeltaFeedDir)).foreach { d =>
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        val b =
+          if (n.startsWith("batch_id=")) Some(n.stripPrefix("batch_id=").toLong)
+          else if (n.startsWith(".staged-batch_id=")) Some(n.stripPrefix(".staged-batch_id=").toLong)
+          else None
+        if (b.exists(_ > tgt.batchId)) fs.delete(st.getPath, true)
+      }
     }
     next
   }
@@ -988,6 +1072,25 @@ class LakeTable(val spark: SparkSession, val root: String) {
         // partition was just expired above — resurrecting it would
         // un-expire the batch) is the staged dir debris.
         healStagedChangelog(applied, keepBelow = cutoff + 1)
+        // the pre-image delta feed expires on the same cutoff (same
+        // consumer-lag contract; its staged dirs heal with the same
+        // rename — see BatchApply.publishDeltaFeed)
+        val dfDir = new Path(root, LakeTable.DeltaFeedDir)
+        if (fs.exists(dfDir)) fs.listStatus(dfDir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= cutoff)
+            fs.delete(st.getPath, true)
+          else if (n.startsWith(".staged-batch_id=")) {
+            val b = n.stripPrefix(".staged-batch_id=").toLong
+            val fin = new Path(dfDir, s"batch_id=$b")
+            if (b <= applied) {
+              if (b <= cutoff || fs.exists(fin)) fs.delete(st.getPath, true)
+              else if (!fs.rename(st.getPath, fin))
+                throw new IllegalStateException(
+                  s"delta-feed publish-heal rename failed for batch $b")
+            }
+          }
+        }
         // ranged feed stores: superseded (non-maximal) dirs are crash
         // debris from compactChangelog/rewrites; the live store expires
         // wholesale once entirely past the cutoff, and is REWRITTEN

@@ -92,6 +92,13 @@ final case class JobSpec(
       * table doubles as a CDC SOURCE for downstream jobs — read back
       * incrementally via [[graft.lake.LakeTable.readChanges]]. */
     changelog: Boolean = false,
+    /** `writer.preimages`: with the changelog on, ALSO emit the signed
+      * pre/post-image delta feed per batch
+      * ([[graft.lake.LakeTable.readDeltaChanges]]) — what makes a
+      * downstream `ivm` sync a pure feed aggregation with zero table
+      * reads. Costs one extra resolved read of the touched buckets per
+      * batch. */
+    preimages: Boolean = false,
     /** arbitrary SQL run before/after the replay (DataX preSql/postSql,
       * `CommonRdbmsWriter.java:88-166` — e.g. register views, swap a
       * shadow table). */
@@ -196,7 +203,15 @@ final case class DedupSpec(
     /** Fence the index for this run's writer (multi-writer safety —
       * [[graft.lake.WriterLease]]); opting in makes the index refuse
       * lease-less mutation from then on. */
-    lease: Boolean = false)
+    lease: Boolean = false,
+    /** `dedup.compactEvery`: fold the index's LSM tail into the
+      * partitioned base every N applied batches, INSIDE the replay's
+      * serial batch loop (safe: one replay owns its index, and the
+      * loop is the single mutation window [[graft.operators.LshIndex
+      * .compact]] requires). 0 = off — compaction is then the
+      * operator's manual/maintenance-window call, and a long replay
+      * accretes one tail file set per batch until it runs. */
+    compactEvery: Int = 0)
 
 /** One dx_* transformer binding (name + pre-bound parameters — the
   * analog of TransformerUtil.buildTransformerInfo). */
@@ -396,6 +411,7 @@ object JobSpec {
       maxDeltaChain = num(j \ "writer" \ "maxDeltaChain",
         graft.apply.BatchApply.DefaultMaxDeltaChain.toLong).toInt,
       changelog = (j \ "writer" \ "changelog") == JBool(true),
+      preimages = (j \ "writer" \ "preimages") == JBool(true),
       preSql = sqlList(j \ "writer" \ "preSql"),
       postSql = sqlList(j \ "writer" \ "postSql"),
       rebucketTo = (j \ "maintenance" \ "rebucket") match {
@@ -415,7 +431,8 @@ object JobSpec {
           k = num(o \ "k", 16).toInt,
           bands = num(o \ "bands", 4).toInt,
           maxBucketSize = num(o \ "maxBucketSize", 1000).toInt,
-          lease = (o \ "lease") == JBool(true)))
+          lease = (o \ "lease") == JBool(true),
+          compactEvery = num(o \ "compactEvery", 0).toInt))
         case _ => None
       },
       ivm = (j \ "ivm") match {

@@ -252,6 +252,18 @@ object AnnIndex {
     }.sum
   }
 
+  /** Auto-compaction hook for ingest loops (the ANN analog of the job
+    * spec's `dedup.compactEvery`): compact when the persisted store's
+    * data-file count exceeds `maxDataFiles`, no-op below it. Call it
+    * between appends from the store's single writer — the same
+    * serial-mutation window [[compact]] requires. Returns whether a
+    * compaction ran. */
+  def compactIfOver(spark: SparkSession, path: String, maxDataFiles: Long,
+      lease: Option[graft.lake.WriterLease] = None): Boolean =
+    if (dataFileCount(spark, path) > maxDataFiles) {
+      compact(spark, path, lease); true
+    } else false
+
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
     import spark.implicits._
     // arrays flattened row-major with their dims pinned alongside —

@@ -427,14 +427,25 @@ object LshIndex {
   private val droppedIdsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[java.util.Set[String]]]()
 
-  /** The `dropped_ids/` store as a distinct one-column frame, None if
-    * nothing was ever dropped. */
+  /** Every ever-dropped doc id as a distinct one-column frame, None if
+    * nothing was ever dropped. The durable source is the per-batch
+    * AUDIT store `dropped/batch_id=N` (the ids are its doc_id column,
+    * column-pruned at read) — admission stopped writing a separate
+    * `dropped_ids/` store; one legacy store is still unioned in so
+    * pre-existing indexes keep their history. */
   private def droppedStore(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/dropped_ids")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(s"$indexDir/dropped_ids").select(col("doc_id")).distinct())
-    else None
+    val conf = spark.sparkContext.hadoopConfiguration
+    def existing(sub: String, marker: String => Boolean): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p) && fs.listStatus(p).exists(st => marker(st.getPath.getName)))
+        Some(p.toString) else None
+    }
+    val legacy = existing("dropped_ids", _.endsWith(".parquet"))
+      .map(spark.read.parquet(_).select(col("doc_id")))
+    val audit = existing("dropped", _.startsWith("batch_id="))
+      .map(spark.read.parquet(_).select(col("doc_id")))
+    (legacy.toSeq ++ audit).reduceOption(_ unionByName _).map(_.distinct())
   }
 
   private def stickyDropped(spark: SparkSession,
@@ -608,7 +619,8 @@ object LshIndex {
     * index holds ONE gram set per doc — first version — rather than one
     * per update). Docs that were DROPPED as dups stay dropped: their
     * later updates are suppressed by the sticky dropped-ids set
-    * (`indexDir/dropped_ids/` — a codegen'd IN filter while it fits
+    * (the `dropped/` audit store's doc_id column — a codegen'd IN
+    * filter while it fits
     * the driver bound, a distributed anti-join against the store once
     * it overflows [[PointLookupMax]]) — a doc re-enters only via a
     * fresh insert, which re-probes. Two disclosed
@@ -623,9 +635,11 @@ object LshIndex {
     * verifying as a near-dup of a DIFFERENT indexed doc is dropped;
     * (doc_id, dup_of, jaccard) rows land under
     * `indexDir/dropped/batch_id=N/` as the audit trail (idempotent
-    * overwrite per retried batch) and the ids append to `dropped_ids/`
-    * (re-appends on a retried batch are harmless: the set is read with
-    * distinct semantics).
+    * overwrite per retried batch; skipped entirely for a batch with no
+    * drops) — the audit store doubles as the durable sticky dropped-id
+    * set (its doc_id column, read with distinct semantics), so
+    * admission pays exactly ONE small write per dropping batch and
+    * zero per clean batch.
     *
     * Granularity disclosure: admission is batch-vs-corpus — near-dup
     * pairs WITHIN one micro-batch are both admitted (and both indexed;
@@ -642,7 +656,7 @@ object LshIndex {
       maxBucketSize: Int, batchId: Long, n: Int, k: Int,
       lease: Option[WriterLease] = None): Admission = {
     val spark = canonical.sparkSession
-    WriterLease.guard(spark, indexDir, lease) // admission writes dropped/ + dropped_ids
+    WriterLease.guard(spark, indexDir, lease) // admission writes dropped/
     val docs = canonical
       .filter(col("has_insert") === 1 && col("op") =!= "D" && col("tokens").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tokens")).as("text"))
@@ -668,13 +682,14 @@ object LshIndex {
     // dup-storm batch falls back to the fully distributed path.
     val local = pairs.limit(PointLookupMax + 1).collect()
     if (local.length <= PointLookupMax) {
-      spark.createDataFrame(java.util.Arrays.asList(local: _*), pairs.schema)
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(droppedDir)
+      // audit write = the ONLY admission write (the dropped-ids store
+      // is its doc_id column) — and a clean batch (no verified dups,
+      // the steady state of low-dup traffic) writes NOTHING
+      if (local.nonEmpty)
+        spark.createDataFrame(java.util.Arrays.asList(local: _*), pairs.schema)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(droppedDir)
       val ids = local.map(_.get(0)).distinct
       if (ids.nonEmpty) {
-        import spark.implicits._
-        ids.map(_.toString).toSeq.toDF("doc_id")
-          .coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/dropped_ids")
         sticky.foreach { set =>
           ids.foreach(i => set.add(i.toString))
           // bounded-mode set just crossed the bound: demote to the
@@ -714,8 +729,8 @@ object LshIndex {
       val h = Mat.materializeIterReleasable(pairs)
       h.df.write.mode(SaveMode.Overwrite).parquet(droppedDir)
       val dupIds = h.df.select("doc_id").distinct()
-      dupIds.coalesce(1).write.mode(SaveMode.Append).parquet(s"$indexDir/dropped_ids")
-      // the big set never lands on the driver — drop the cached copy so
+      // the audit write above IS the durable dropped-ids record; the
+      // big set never lands on the driver — drop the cached copy so
       // the next batch reloads from disk (the bounded limit+1 probe)
       droppedIdsCache.remove(indexDir)
       val dropped = dupIds.count() // dupIds is small (verified pairs only)

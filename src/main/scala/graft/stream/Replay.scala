@@ -73,6 +73,7 @@ object Replay {
       deltaThreshold: Double = graft.apply.BatchApply.DefaultDeltaThreshold,
       maxDeltaChain: Int = graft.apply.BatchApply.DefaultMaxDeltaChain,
       changelog: Boolean = false,
+      preimages: Boolean = false,
       stopAfterBatches: Int = Int.MaxValue,
       transform: DataFrame => DataFrame = identity,
       quarantineDir: Option[String] = None,
@@ -160,7 +161,10 @@ object Replay {
         // re-entered for an already-committed batch, so the staged
         // changelog partition (written before that batch's commit) is
         // renamed live HERE if the crash hit between commit and publish
-        if (fenced && changelog) BatchApply.publishChangelog(table, batchId)
+        if (fenced && changelog) {
+          BatchApply.publishChangelog(table, batchId)
+          if (preimages) BatchApply.publishDeltaFeed(table, batchId)
+        }
         val split =
           if (fenced || !routeDirty) None
           else Some(graft.apply.DirtyRouter.route(
@@ -187,12 +191,12 @@ object Replay {
                 admission = Some(a)
                 BatchApply.applyCanonical(table, a.admitted, batchId,
                   deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
-                  changelog = changelog)
+                  changelog = changelog, preimages = preimages)
               case None =>
                 BatchApply.apply(table, cleanBatch, batchId, saltBuckets,
                   assumeOrdered = assumeOrdered,
                   deltaThreshold = deltaThreshold, maxDeltaChain = maxDeltaChain,
-                  changelog = changelog)
+                  changelog = changelog, preimages = preimages)
             }
             if (snap.batchId == batchId) {
               appliedRows += snap.lineage.filter(_.batchId == batchId).map(_.rows).sum
@@ -202,6 +206,12 @@ object Replay {
               admission.zip(dedup).foreach { case (a, dx) =>
                 graft.operators.LshIndex.indexAdmitted(
                   a, dx.indexDir, dx.n, dx.k, dx.bands, lease = indexLease)
+                // auto-compaction: fold the LSM tail every N batches so
+                // a long replay's index file count stays bounded without
+                // an operator stepping in. Serial with probe/append by
+                // construction (this batch loop IS the single writer).
+                if (dx.compactEvery > 0 && (batchId + 1) % dx.compactEvery == 0)
+                  graft.operators.LshIndex.compact(spark, dx.indexDir, lease = indexLease)
               }
             }
             // tps cap: hold the NEXT batch back until cumulative rate

@@ -349,6 +349,55 @@ class JobSpecSuite extends AnyFunSuite {
     assert(indexed == Set("A", "B", "D"))
   }
 
+  test("dedup.compactEvery: index file count stays bounded without a manual compact") {
+    import spark.implicits._
+    def ev(lsn: Long, op: String, doc: String, tokens: Array[Int], src: String) =
+      graft.model.ChangeEvent(0, lsn, op, doc, tokens, tokens.length.toLong, src, null)
+    def stageLog(dir: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      (0 until 6).foreach { i =>
+        val rows = (0 until 3).map(j =>
+          ev(i * 10 + j + 1, "I", f"doc-$i-$j",
+            Array.tabulate(12)(t => i * 1000 + j * 40 + t), "s0"))
+        rows.toDF().coalesce(1).write.parquet(s"$dir/stage$i")
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/stage$i"))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/log"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(f"$dir/log/seg-$i%05d.parquet"))
+      }
+    }
+    def tailFiles(idx: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/tail")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    def run(dir: String, compactEvery: Int): (Long, Set[String]) = {
+      stageLog(dir)
+      Replay.replay(spark, s"$dir/log", s"$dir/table", s"$dir/cp",
+        nBuckets = 4, maxFilesPerTrigger = 1,
+        dedup = Some(graft.model.DedupSpec(s"$dir/idx", threshold = 0.8,
+          n = 3, k = 16, bands = 4, compactEvery = compactEvery)))
+      (tailFiles(s"$dir/idx"),
+        graft.operators.LshIndex.indexedDocs(spark, s"$dir/idx")
+          .collect().map(_.getString(0)).toSet)
+    }
+    // the unbounded quantity is the LSM tail: one file set per batch
+    // forever without compaction; compactEvery folds it into the
+    // (partition-count-bounded) base as the replay runs
+    val (manualTail, manualDocs) = run(tmpDir("graft-autocompact-off"), compactEvery = 0)
+    val (autoTail, autoDocs) = run(tmpDir("graft-autocompact-on"), compactEvery = 2)
+    assert(autoTail < manualTail,
+      s"compactEvery must bound the accreted tail: auto=$autoTail vs unmanaged=$manualTail")
+    assert(autoDocs == manualDocs, "compaction must not change the indexed doc set")
+    // the spec surface parses the knob
+    val spec = JobSpec.parse(
+      """{"reader": {"logDir": "x"}, "writer": {"tableDir": "y", "checkpointDir": "z"},
+        | "dedup": {"indexDir": "i", "compactEvery": 4}}""".stripMargin)
+    assert(spec.dedup.get.compactEvery == 4)
+  }
+
   test("dx_expr: arbitrary SQL expression transformer (dx_groovy analog)") {
     import spark.implicits._
     val df = Seq(("ab", 1), ("cde", 2)).toDF("s", "x")
