@@ -72,6 +72,24 @@ object SparkEntry {
   /** q91's DSv2 keyed-sink store roots, keyed by source dir. */
   private val keyedSinkFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q92's frozen IVF centroids: the output of
+    * `Similarity.kmeansCentroids(embeddings@sf0.01, cells = 8, dim = 64,
+    * iters = 3)` pinned as literals (the q85 frozen-merges / q75
+    * fixed-books discipline): the index SERVES under the exact model it
+    * was trained with, training itself stays offline, and the query is
+    * value-exact at every SF because the constants are data-independent
+    * at query time. Doubles round-trip bit-exactly through both the
+    * Scala literal and the SQL literal (shortest-repr decimal). */
+  private val FrozenIvfCentroids: Array[Array[Double]] = Array(
+    Array(0.1406014912643214, -0.12128266563582357, 0.07096292427035082, 0.011245767740943557, -0.038959240243698304, 0.1364050066281335, -0.16526172834331238, 0.09103265908871122, -0.00941112773583295, -0.08130927858534047, -0.011123959256526799, 0.047558262790611386, -0.014011768546962894, 0.2389172765721836, 0.11171916788565132, -0.08165916798638669, -0.09600208055685382, -0.21584448850807061, 0.03163249637563643, -0.2265356994184629, -0.23602144396840266, 0.001375998238636011, 0.17182282930064208, 0.024551995288048186, 0.06590531929462747, -0.07882475019929973, 0.17527905387195228, -0.0516024503516722, 0.06920071290298024, 0.07116912342331261, 0.1063735989000613, 0.08193589935757063, 0.039198772616647184, -0.10712676920550288, 0.17989574130977187, -0.1787217846890008, 0.006383858671621501, -0.10473480067977645, -0.3123958013329832, 0.07720644789765027, 0.013682448003764294, 0.008881151419801715, -0.16398536506857653, 0.015168146817587613, 0.06071394380368237, 0.0846304926748211, 0.06631064249696515, 0.00809515846885861, -0.36639525301602544, -0.016349689116430165, -0.0016584918075857736, -0.1124506752450619, 0.1100895600061069, 0.06044501692820657, -0.20722672058361555, -0.02953403523990581, -0.110664758633718, -0.06046427288023413, -0.20347458162830606, 0.015447722818048354, 0.005328792966778145, 0.1964514837007394, -0.06634959203629363, 0.10699474923137453),
+    Array(-0.01523587779445009, -0.04001139129405761, 0.1682854307546646, -0.08564012573011547, -0.005757200529067945, -0.2621042017182197, 0.19272845557846227, 0.08885389919895637, -0.027824352156639642, -0.13822493183625703, -0.12579353512929942, -0.13574757036758023, 0.05075284457394713, 0.18472842970453612, 0.10239394069890573, 0.1185821713467733, -0.00910546232798237, 0.02019930908034304, -0.21471448206437813, 0.02578810455344744, 0.008335526459757117, 0.16458392429131652, 0.07225231663884234, 0.10938484576314675, 0.08644090093790481, 0.3032812676667559, -0.089038214996988, -0.05775291632086113, 0.00973979676895237, 0.07674327090924814, 0.16756289973111957, -0.020193809070739255, -0.005726688571027894, 0.05417902317558186, -0.0779722611504751, 0.10437250367756298, 0.04670955179950664, -0.10363281786215855, 0.03745899398007201, 0.012170277203387387, 0.11586280945552992, -0.1380021814473037, -0.19701250472567802, -0.1224573864467743, -0.18400360701032287, 0.16360930949426464, 0.051022279568227843, 0.23470871935806573, 0.03557157401770607, -0.08169249383699796, 0.058487494984490615, -0.02074073264479194, -0.03463375690395572, 0.15289627293066138, 0.16346919020197773, -0.23388771197209102, 0.10985778111276755, -0.14241954035110646, 0.15547014647262367, 0.13871934341385453, -0.1790972055859168, -0.07885232816338571, 0.09888820838693052, -0.1262438811537618),
+    Array(-0.07940984213056022, 0.03312468822719907, -0.2671681739520024, -0.01119305754748668, 0.09722979556012733, 0.1591473790508532, -0.06788369844562771, -0.14811110437364336, -0.12802126961784305, -0.05781179334440521, 0.1316970533069104, 0.060402304935781595, -0.17211375620934452, 0.20691001010565313, -0.030705894158959877, -0.17187566933677392, 0.1380097017837838, 0.09457167522903868, 0.173615649349277, -0.025189987722856914, -0.19416858228277642, -0.1710863636376767, 0.05729862379943983, 0.11247355235603898, 0.08282293705002144, -0.05806475290032221, -0.08960897064390853, 0.18983895825209215, -0.21733619491809011, -0.12828494989967226, 0.005531770631672477, 0.017008028857880542, 0.047765791500011055, -0.29105804127232654, 0.03392347526192964, -0.02781631769329259, -0.10689511868036712, 0.12450896150655844, 0.018154650774375468, 0.0946363714015956, -0.05948788278803263, 0.0562860419416045, -0.08442360959517974, -0.13329239647386956, 0.08717536586183687, -0.16772885537222273, -0.04653179256885592, -0.036563500494946805, 0.1714024081587881, -0.23369868734922214, -0.05126316495843531, -0.16024752383189056, 0.07641510339973097, -0.004177922660550789, 0.042005725178971054, -0.03602194891259534, 0.00204926985659464, 0.0395173393465734, -0.11128125890776776, -0.15055344685718103, 0.2688621106156455, -0.005483062593712956, 0.17244969294443174, 0.016606280498985413),
+    Array(0.1541781578910381, -0.0033810105764326285, 0.06897408339962387, -0.22940924632663456, -0.07618917253442227, -0.020568874595768446, -0.022513445330623456, 0.17001389220246527, 0.12411053514223745, 0.14660228262380773, 0.08693045250087542, -0.04559346320635371, 0.29256545536771766, -0.007425890865380915, 0.18752833260682072, 0.009788844699376013, -0.06187366027004088, -0.0805435771275041, -0.1505799048599731, 0.14480109718829207, 0.011116320160306925, -0.15256876877087586, -0.010397809879007671, -0.20518753092383762, 0.20987495262598896, 0.07965739684962833, 0.017996597230153105, 0.30216704393426713, -0.15520128274420336, 0.014473046039502401, -0.02777842048445837, -0.15089027384922793, 0.11348159829691619, 0.0028619515693985168, 0.01189622849136011, 0.17973442299265677, -0.031177855755099192, -0.08154025277780892, 0.21532992913929455, -0.17962720077507272, -0.031705572784626546, -0.011723807140976322, 0.12245690563884756, 0.020369581699963547, -0.06372061708056656, -0.06400891867102763, -0.1370226030775917, -0.0798350974820202, 0.04396084524535596, 0.11525997723415694, 0.04340636225604765, -0.010538027609142192, -0.049444435467145345, -0.015455309249925171, 0.034684038107943314, 0.029828735237935163, 0.03639441989292004, -0.1665849985382194, -0.25674864171930134, -0.15743257128491706, 0.20186686254075734, -0.062264855066839375, 0.05189164664198934, -0.18917689399948287),
+    Array(-0.12129739810488652, -0.022993208148860026, 0.03806660094711978, 0.21970012604507913, -0.15019488784883583, 0.0870082227604939, 0.021253148769699616, 0.06164286441935119, -0.03547011338922673, 0.041940813266521916, 0.2487023415849964, 0.1880529128377652, -0.16531299634370178, -0.1134586080635413, -0.15868777629810824, 0.00991515115438054, -0.0028539822546682953, 0.0047192572594426056, -0.013858305037349122, 0.12686164192878657, -0.0257412970958996, 0.031197954720262842, -0.0630702641757666, 0.24201676118654283, -0.18981696458155373, 0.18665224909838066, -0.08132407548903632, 0.01160191362622837, 0.21936353243328902, 0.12089647460058991, -0.0023662542583959777, 0.07569468451446724, -0.025345277140578066, -0.17162479788397084, -0.15046265664822556, 0.10460320724361052, -0.055522359664693655, -0.21145772722261758, -0.07513404541498199, 0.238431858256671, 0.03894386920899655, 0.09661649347485007, 0.06381863915029815, 0.15837529180211232, -0.3043025159018781, -0.08446001180977228, 0.20481195897179508, -0.08074574858789092, 0.06067628151542815, 0.1169688486227091, 0.1847902431262564, -0.04688341550666325, 0.20036829283986912, -0.004295392151012528, -0.028217005572489542, 0.061987338734851245, -0.04848664251918545, -0.015194288630728926, -0.06277272382902811, -0.0830347135743462, -0.0655640107075149, -0.14394712432315812, -0.09586905250964711, -0.005876611568729854),
+    Array(0.029586305126381274, 0.09534024993485979, 0.1249452016696261, -0.031964877792950895, 0.043531496110153285, -0.02227506886213905, 0.02354826493315651, -0.16892838361546986, -0.10962037355863873, -0.22924189790324545, 0.10582642443211576, -0.028974498604293557, -0.11094279950103637, -0.28509830773825917, 0.08537667489003131, 0.1302582843307903, -0.06892224371880971, 0.19065747413360776, -0.08055179433931159, -0.1938789582564917, 0.1762091072478093, 0.1768752290799277, 0.16855460387466079, -0.19426573411829642, -0.07640850382993873, -0.06529519586355127, -0.05426212481809335, -0.23342813211677776, 0.04148199370292408, 0.0932445547932222, -0.06724863998516062, 0.007454264226286515, -0.0498401946493305, 0.04902299291063795, -0.1783704893053487, -0.0740528156372962, 0.07040111753080149, 0.21194137687655296, 0.04851939322205732, -0.042535738969955564, 0.09567843160511562, -0.04630510847633462, 0.17479895748869118, 0.11236848810047537, -0.01965161819833113, 0.19827616754292593, -0.06539930609370104, 0.13198041162489593, -0.07113659909562478, -0.23158783900514127, -0.008334186375001457, 0.2284690524905597, -0.08601984161713022, -0.11674924034238793, 0.1722718476348726, 0.16411946569162522, 0.08718045172691381, -0.0591389898527956, -0.08935059203990679, -0.004619909120669093, -0.0910378982054752, 0.12387182095891643, -0.06273503065850468, -0.06245271818231158),
+    Array(-0.034836462082916984, 0.17780357499615884, -0.03538513520804829, 0.11491666594968353, 0.24608104929602512, 0.06796350768564545, -0.25141628616704986, 0.20075513827764957, 0.011886216143863548, 0.1561376281549268, -0.25084796268389564, 0.09788403201747349, 0.015843128600605345, -0.03416478210770372, -0.16057043056713963, 0.13869047046911614, 0.15566437288433035, 0.019914814517196035, 0.10278976036467345, -0.14585994201626262, 0.05686330586269831, -0.11106547022353426, -0.030579305329009494, -0.3116003378678153, -0.2157670238003249, -0.05502972985779521, -0.12450472332242636, 0.15243375522468114, -0.031895385313130485, -0.0918048808942574, 0.06669254668000166, -0.10184791541127927, 0.020824055245267283, 0.13923799091961483, 0.14083823264531292, 0.07524023286289465, -0.03888207559710297, 0.04274304161299548, -0.004963526746636064, 0.0097533289593545, 0.0020309578134237293, -0.0649669378656881, 0.18841899480218327, -0.1335910378943663, -0.11387613009202904, -0.15425108400619097, -0.056289109227844504, -0.0573097751704032, -0.17217643699673793, -0.14846778603868294, 0.005003541023168749, 0.14750030779702986, -0.057676984374797804, 0.03191959148041569, 0.10794704622812759, -0.12672428066145544, -0.0798123442378509, 0.1629617364264304, 0.07597174214046817, -0.01679232871594105, -0.22354044196570066, -0.10102084391773399, 0.05776200785127123, 0.018108957592744248),
+    Array(0.004830464073166109, -0.24447606384849258, -0.013022434869114042, -0.11454883353432013, 0.1628849007403065, 0.08270567691670933, -0.24729769035762098, -0.0473378415891033, 0.04806843034239198, 0.03788359113548368, 0.024946888097794506, -0.07811413594150816, -0.032127325649294894, -0.08271151179956451, -0.09366179550734378, 0.023249653751496843, 0.017237216434692258, 0.13111099496921383, 0.11052174070058368, 0.21754183512349523, 0.04752005372037047, 0.16940712255919566, -0.1407854354758423, 0.0062823774236313015, -0.013464248104254013, 0.06763222954081483, 0.18702237798308438, -0.06641089642949533, 0.05018761884884881, -0.09550935486193687, -0.04426137401211555, -0.04172560557970828, 0.09008102002884608, 0.07641618503064934, 0.16335169136872132, -0.18409086118018336, -0.03173961303852273, 0.07990293700208588, -0.02443403260473351, -0.18566100768324045, -0.17249101169770978, -0.2416324285706999, -0.1298370455458318, 0.06458094408983368, 0.1690817510652447, 0.1903526629642727, -0.01089720674707027, 0.10509545319481049, 0.10337917870445906, 0.08486074483440725, 0.04667292085952691, -0.0640827269870936, 0.08357374369937545, -0.19003578787868977, -0.12507214713001208, 0.05326823226365471, 0.13665587390985953, 0.12054049047885097, 0.2810144073867585, 0.015470065860498254, 0.04283223717805876, 0.2536004386880625, -0.17894428976917845, -0.12918747977113748))
+
   /** q85's fixed BPE merge rules + base alphabet — the output of
     * `TextAnalysis.bpeTrain(documents@sf0.01, 8)` frozen as literals
     * (the PQ fixed-books discipline: the encoder runs under the exact
@@ -521,6 +539,18 @@ object SparkEntry {
       val cent = graft.operators.Similarity.kmeansCentroids(emb, cells = 16, dim = 64, iters = 3)
       graft.operators.Similarity.ivfTopKWith(emb, col("vec_id") % 100 === 0, k = 5, cent, nProbe = 4)
     }),
+
+    // q39's learned-k-means IVF, made FULLY oracle-checkable: the same
+    // ivfTopKWith plan under centroids trained once and FROZEN as
+    // literals ([[FrozenIvfCentroids]]) — the production serving shape
+    // (models are trained offline and pinned; the index never retrains
+    // per query), and the DuckDB oracle recomputes cell assignment +
+    // probes + rerank from the identical constants, closing the one
+    // rows-only gap q39's in-query training left open
+    "q92_ann_ivf_frozen" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopKWith(
+        t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
+        FrozenIvfCentroids, nProbe = 2)),
 
     // dedup-on-ingest: near-dups of each INCOMING doc among the
     // EXISTING corpus — band-join is incoming×existing only, so
@@ -1548,6 +1578,10 @@ object SparkEntry {
     "q35_ann_ivf" ->
       graft.operators.Similarity.ivfTopKSql(
         "vec_id % 100 = 0", k = 5, cells = 16, dim = 64, nProbe = 4),
+
+    "q92_ann_ivf_frozen" ->
+      graft.operators.Similarity.ivfTopKWithSql(
+        "vec_id % 100 = 0", k = 5, FrozenIvfCentroids, nProbe = 2),
 
     "q24_multimodal_decode" -> graft.operators.Multimodal.decodedMetadataSql,
 

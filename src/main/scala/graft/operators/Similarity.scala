@@ -387,6 +387,46 @@ object Similarity {
     }.mkString("[", ", ", "]")
   }
 
+  /** [[ivfDotsSql]] with EXPLICIT centroids: each double rendered via
+    * `Double.toString` (shortest round-trip decimal), which DuckDB
+    * parses back to the bit-identical double — so the oracle evaluates
+    * the exact same dot products as the Spark plan. */
+  def ivfDotsSqlW(e: String, w: Array[Array[Double]]): String = {
+    val dim = w.head.length
+    w.map { c =>
+      val lits = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($e)[i] * ($lits::DOUBLE[])[i]))"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** DuckDB SQL for [[ivfTopKWith]] under EXPLICIT (e.g. frozen
+    * learned) centroids — the oracle for an IVF index whose centroid
+    * directions were trained once and pinned as literals (the frozen-
+    * model discipline: the query is then value-exact at every SF even
+    * though training was data-dependent). Same CTE chain as
+    * [[ivfTopKSql]], dots from [[ivfDotsSqlW]]. */
+  def ivfTopKWithSql(anchorWhere: String, k: Int, w: Array[Array[Double]],
+      nProbe: Int): String = {
+    val cells = w.length
+    val dots = ivfDotsSqlW("emb", w)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |d AS (SELECT vec_id, emb, $dots AS dl FROM e),
+       |post AS (SELECT vec_id, emb, list_position(dl, list_max(dl)) - 1 AS cell FROM d),
+       |aprobe AS (SELECT anchor_id, cid AS cell FROM (
+       |  SELECT d.vec_id AS anchor_id, j.j AS cid,
+       |    row_number() OVER (PARTITION BY d.vec_id ORDER BY (d.dl)[j.j + 1] DESC, j.j ASC) AS r
+       |  FROM d CROSS JOIN (SELECT unnest(range($cells)) AS j) j WHERE $anchorWhere)
+       |  WHERE r <= $nProbe),
+       |aemb AS (SELECT vec_id AS anchor_id, emb AS aemb FROM e WHERE $anchorWhere),
+       |sc AS (SELECT p.anchor_id, c.vec_id AS neighbor_id, ${simSql("a.aemb", "c.emb")} AS sim
+       |  FROM post c JOIN aprobe p ON c.cell = p.cell AND c.vec_id <> p.anchor_id
+       |  JOIN aemb a ON a.anchor_id = p.anchor_id),
+       |rk AS (SELECT anchor_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sc)
+       |SELECT anchor_id, rank, neighbor_id, sim FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** IVF approximate top-k: the corpus is partitioned into `cells`
     * disjoint spherical cells (an inverted file); each anchor probes its
     * `nProbe` best cells. The candidate join is an equi-join on the cell

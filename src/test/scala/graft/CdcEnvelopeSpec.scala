@@ -131,6 +131,49 @@ class CdcEnvelopeSpec extends AnyFunSuite {
     assert(ra.count() > 0)
   }
 
+  test("exportEnvelopes carries FULL pre-images; key-only deletes refused without coverage") {
+    import graft.apply.BatchApply
+    import spark.implicits._
+    val dir = tmpDir("graft-env-pre")
+    val table = Replay.createTable(spark, s"$dir/t", nBuckets = 4)
+    def batch(rows: Seq[(String, Long, String, Seq[Int], java.lang.Long, String)]) =
+      rows.map { case (d, l, op, tk, nt, src) => (d, l, op, tk, nt, src,
+        null.asInstanceOf[String], 0) }
+        .toDF("doc_id", "lsn", "op", "tokens", "n_tok", "source", "lang", "shard")
+    BatchApply.apply(table, batch(Seq(
+      ("a", 1L, "I", Seq(1, 2), 2L, "s0"), ("b", 2L, "I", Seq(3), 1L, "s0"))),
+      batchId = 0, changelog = true, preimages = true)
+    BatchApply.apply(table, batch(Seq(
+      ("a", 10L, "U", Seq(9, 9, 9), 3L, "s1"),    // update: before = old a
+      ("b", 11L, "D", null, null, null),          // delete: before = old b
+      ("c", 12L, "I", Seq(7), 1L, "s0"),          // insert: before null
+      ("a2", 5L, "I", Seq(5), 1L, "s0"))),        // second key, plain insert
+      batchId = 1, changelog = true, preimages = true)
+    val parsed = CdcEnvelope.exportEnvelopes(table, sinceBatchId = 0)
+      .select(from_json(col("value"), CdcEnvelope.envelopeSchema).as("e"))
+      .select(col("e.payload.op").as("op"),
+        col("e.payload.before.doc_id").as("b_id"),
+        col("e.payload.before.n_tok").as("b_ntok"),
+        col("e.payload.before.tokens").as("b_tokens"),
+        col("e.payload.after.doc_id").as("a_id"),
+        col("e.payload.after.n_tok").as("a_ntok"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString.toLong),
+        Option(r.getString(4)))).toSet
+    assert(parsed == Set(
+      ("u", Some("a"), Some(2L), Some("a")),  // full before (old n_tok=2), after new
+      ("d", Some("b"), Some(1L), None),       // DELETE with a FULL before row
+      ("c", None, None, Some("c")),
+      ("c", None, None, Some("a2"))), s"got $parsed")
+    // a range without pre-image coverage is refused loudly, never
+    // silently exported with keyless deletes
+    BatchApply.apply(table, batch(Seq(("d", 20L, "I", Seq(1), 1L, "s0"))),
+      batchId = 2, changelog = true) // no preimages
+    val e = intercept[IllegalArgumentException](
+      CdcEnvelope.exportEnvelopes(table, sinceBatchId = 0))
+    assert(e.getMessage.contains("preimages"))
+  }
+
   test("replaying an envelope log equals replaying the parquet log") {
     val d = tmpDir("graft-dbz-replay")
     // parquet form
