@@ -186,7 +186,11 @@ object Main {
     // maintained view sync runs BEFORE maintenance: vacuum's feed
     // retention must never trim batches this sync still needs
     spec.ivm.foreach { iv =>
-      val agg = graft.lake.Ivm.sync(table, iv.aggDir, iv.grp, iv.sum)
+      val lease =
+        if (iv.lease) Some(graft.lake.WriterLease.acquire(spark, iv.aggDir, s"job:$tag"))
+        else None
+      val agg = graft.lake.Ivm.sync(table, iv.aggDir, iv.grp, iv.sum,
+        stateBuckets = iv.stateBuckets, lease = lease)
       println(s"ivm view ${iv.aggDir}: ${agg.count()} groups, synced through " +
         s"batch ${graft.lake.Ivm.syncedBatchId(spark, iv.aggDir)}")
     }

@@ -102,6 +102,12 @@ object Ivm {
     * manifest stays a trivial driver object. */
   val DefaultStateBuckets = 16
 
+  /** Changed-GROUP count up to which a sync's delta lands on the
+    * driver (one bounded collect fused with the delta aggregation)
+    * and merges as a broadcast side; above it the delta stays
+    * distributed. */
+  val SmallDeltaMax = 1024
+
   private def pbCol(grp: Column, nb: Int): Column =
     pmod(hash(grp), lit(nb)).cast("int")
 
@@ -132,15 +138,27 @@ object Ivm {
       case Some(m) =>
         val (rows, release) = deltaRows(table, m, cur, grp, sumCol, keyLookupMax)
         try {
-          val delta = rows
+          val delta0 = rows
             .groupBy(col(grp))
             .agg(sum(col("s")).as("dcnt"),
               sum((col("v").isNotNull.cast("long")) * col("s")).as("dnnz"),
               coalesce(sum(col("s") * col("v")), lit(0L)).as("dsum"))
-          // bucket set of the changed groups: bounded by the state-bucket
-          // count (≤ m.nb ints) — the only driver-side materialization
-          val changedPbs = delta.select(pbCol(col(grp), m.nb).as("pb"))
-            .distinct().collect().map(_.getInt(0)).toSet
+            .withColumn("pb", pbCol(col(grp), m.nb))
+          // bounded probe: a small per-sync delta (the common case —
+          // few groups changed) lands on the driver in the SAME job
+          // that aggregates it, giving the changed-bucket set for free
+          // and a broadcast-side merge join; a high-cardinality delta
+          // stays distributed and pays one extra distinct job for the
+          // (≤ m.nb ints) bucket set — the only driver materialization
+          val local = delta0.limit(SmallDeltaMax + 1).collect()
+          val (delta, changedPbs) =
+            if (local.length <= SmallDeltaMax)
+              (broadcast(spark.createDataFrame(
+                java.util.Arrays.asList(local: _*), delta0.schema)),
+                local.map(_.getAs[Int]("pb")).toSet)
+            else
+              (delta0, delta0.select(col("pb"))
+                .distinct().collect().map(_.getInt(0)).toSet)
           if (changedPbs.isEmpty) {
             // no net group change (metadata-only advance, or a range
             // whose changes all lost the merge / cancelled out):

@@ -191,7 +191,14 @@ final case class FileWriterSpec(
 final case class IvmSpec(
     aggDir: String,
     grp: String = "source",
-    sum: String = "n_tok")
+    sum: String = "n_tok",
+    /** state-bucket count for a NEW store (the per-sync rewrite unit —
+      * [[graft.lake.Ivm.DefaultStateBuckets]]); existing stores keep
+      * their built count. */
+    stateBuckets: Int = graft.lake.Ivm.DefaultStateBuckets,
+    /** fence the view store for this run's writer (the
+      * [[graft.lake.WriterLease]] one-way opt-in, like `dedup.lease`). */
+    lease: Boolean = false)
 
 final case class DedupSpec(
     indexDir: String,
@@ -443,7 +450,10 @@ object JobSpec {
           Some(IvmSpec(
             aggDir = str(o \ "aggDir"),
             grp = str(o \ "grp", "source"),
-            sum = str(o \ "sum", "n_tok")))
+            sum = str(o \ "sum", "n_tok"),
+            stateBuckets = num(o \ "stateBuckets",
+              graft.lake.Ivm.DefaultStateBuckets).toInt,
+            lease = (o \ "lease") == JBool(true)))
         case _ => None
       },
       dryRun = (j \ "dryRun") == JBool(true) || (j \ "setting" \ "dryRun") == JBool(true))
