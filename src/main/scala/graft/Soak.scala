@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
  * manifest commit path under a growing live file set.
  *
  * Env knobs: SPARK_GRAFT_SOAK_EVENTS (default 100,000,000),
+ * SPARK_GRAFT_SOAK_FEED ("off" default | "changelog" | "preimages" —
+ * replay with the change feed / the signed pre-image delta feed on,
+ * and in feed modes ALSO measure the IVM consumer at soak scale:
+ * view init = the full aggregate a non-incremental consumer pays,
+ * then a ~0.1%-of-docs delta batch followed by one incremental sync —
+ * the regime where the pure-feed sync's ~constant cost meets a
+ * full-refresh cost that grew with the table),
  * SPARK_GRAFT_SOAK_BATCHES (default 4), SPARK_GRAFT_SOAK_BUCKETS
  * (table bucket count — an integer, or "auto" to let
  * [[graft.lake.LakeTable.suggestBuckets]] size it from the expected
@@ -83,19 +90,51 @@ object Soak {
       .count(_.getName.endsWith(".parquet"))
     val perTrigger = math.max(1, (nFiles + batches - 1) / batches)
 
+    val feedMode = sys.env.getOrElse("SPARK_GRAFT_SOAK_FEED", "off")
+    require(Seq("off", "changelog", "preimages").contains(feedMode), s"feed=$feedMode")
+
     def runOnce(spark: SparkSession, buckets: Int, tag: String): Double = {
-      System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger, $buckets buckets)")
+      System.err.println(s"[soak] replaying ($nFiles files, $perTrigger per trigger, " +
+        s"$buckets buckets, feed=$feedMode)")
       val t0 = System.nanoTime()
       val table = Replay.replay(spark, s"$work/log", s"$work/table-$tag", s"$work/cp-$tag",
-        nBuckets = buckets, maxFilesPerTrigger = perTrigger)
+        nBuckets = buckets, maxFilesPerTrigger = perTrigger,
+        changelog = feedMode != "off", preimages = feedMode == "preimages")
       val sec = (System.nanoTime() - t0) / 1e9
       val snap = table.current
       val rows = snap.files.filterNot(_.delta).map(_.rows).sum
+      val ivmJson = if (feedMode == "off") "" else {
+        import org.apache.spark.sql.functions._
+        def t2[A](body: => A): (A, Double) = {
+          val s0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - s0) / 1e9)
+        }
+        // what a NON-incremental consumer pays per refresh at this size
+        // (the wide view: sum over the tokens payload, unprunable)
+        val wide = "aggregate(tokens, 0L, (a, x) -> a + x)"
+        val (_, fullSec) = t2(table.read().groupBy(col("source"))
+          .agg(count(lit(1)), sum(expr(wide).cast("long"))).collect())
+        val (_, initSec) = t2(graft.lake.Ivm.sync(table, s"$work/agg-$tag", sumCol = wide))
+        // ~0.1%-of-docs delta, then ONE incremental sync
+        val maxLsn = snap.watermarks.values.max
+        val delta = table.read().select(col("doc_id"), col("source"))
+          .limit(math.max(100, (cfg.nDocs / 1000).toInt))
+          .select(pmod(xxhash64(col("doc_id")), lit(32)).cast("int").as("shard"),
+            (lit(maxLsn + 1000000L) + monotonically_increasing_id()).as("lsn"),
+            lit("U").as("op"), col("doc_id"),
+            array(lit(1), lit(2), lit(3)).as("tokens"), lit(3L).as("n_tok"),
+            col("source"), lit(null).cast("string").as("lang"))
+        graft.apply.BatchApply.apply(table, delta, batchId = snap.batchId + 1,
+          changelog = true, preimages = feedMode == "preimages")
+        val (_, syncSec) = t2(graft.lake.Ivm.sync(table, s"$work/agg-$tag", sumCol = wide))
+        f""","ivm_wide_full_agg_sec":$fullSec%.2f,"ivm_init_sec":$initSec%.2f,""" +
+          f""""ivm_sync_sec":$syncSec%.2f,"ivm_sync_mode":"${
+            if (feedMode == "preimages") "pure-feed" else "snapshot-diff"}""""
+      }
       println(f"""{"soak_events":$events,"batches":$batches,"buckets":$buckets,"sec":$sec%.1f,""" +
         f""""events_per_sec":${events / sec}%.0f,"table_rows":$rows,""" +
         s""""files":${snap.files.size},"manifests":${snap.manifests.size},""" +
-        s""""versions":${table.listVersions.size}}""")
-      Seq(s"$work/table-$tag", s"$work/cp-$tag").foreach(p =>
+        s""""versions":${table.listVersions.size},"feed":"$feedMode"$ivmJson}""")
+      Seq(s"$work/table-$tag", s"$work/cp-$tag", s"$work/agg-$tag").foreach(p =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
       sec
     }
