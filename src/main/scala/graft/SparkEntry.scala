@@ -72,6 +72,10 @@ object SparkEntry {
   /** q91's DSv2 keyed-sink store roots, keyed by source dir. */
   private val keyedSinkFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q93's pre-image-feed table roots (two-batch replay with
+    * `preimages = true`), keyed by source dir. */
+  private val preimgFixtures = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** q92's frozen IVF centroids: the output of
     * `Similarity.kmeansCentroids(embeddings@sf0.01, cells = 8, dim = 64,
     * iters = 3)` pinned as literals (the q85 frozen-merges / q75
@@ -551,6 +555,47 @@ object SparkEntry {
       graft.operators.Similarity.ivfTopKWith(
         t(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5,
         FrozenIvfCentroids, nProbe = 2)),
+
+    // the PRE-IMAGE machinery end-to-end through the driver gate: a
+    // two-batch replay with writer.preimages on, exported as FULL
+    // Debezium envelopes ([[graft.sources.CdcEnvelope.exportEnvelopes]])
+    // — updates and deletes must carry the exact replaced row as
+    // `before` (the batch-0 last-wins winner), inserts carry none, and
+    // the oracle recomputes every image from the raw events alone
+    "q93_preimage_export" -> ((s, dir) => {
+      val root = preimgFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-preimg-q").toString
+        val ev = t(s, dir, "events")
+        val b = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        def changes(insertAll: Boolean) = ev.select(
+          format_string("u%06d", col("user_id")).as("doc_id"),
+          (if (insertAll) lit("I")
+           else when(col("event_type") === "error", "D").otherwise("U")).as("op"),
+          col("event_id").as("lsn"),
+          array(pmod(col("event_id"), lit(1000)).cast("int")).as("tokens"),
+          (pmod(col("event_id"), lit(7)) + 1).cast("int").as("n_tok"),
+          col("event_type").as("source"),
+          lit(null).cast("string").as("lang"),
+          pmod(col("user_id"), lit(4)).cast("int").as("shard"))
+        val table = graft.stream.Replay.createTable(s, s"$d/t", nBuckets = 8)
+        graft.apply.BatchApply.apply(table, changes(insertAll = true).filter(col("lsn") <= mid),
+          batchId = 0, changelog = true, preimages = true)
+        graft.apply.BatchApply.apply(table, changes(insertAll = false).filter(col("lsn") > mid),
+          batchId = 1, changelog = true, preimages = true)
+        d
+      })
+      val table = graft.lake.LakeTable.load(s, s"$root/t")
+      graft.sources.CdcEnvelope.exportEnvelopes(table, sinceBatchId = -1L)
+        .select(from_json(col("value"), graft.sources.CdcEnvelope.envelopeSchema).as("e"))
+        .select(col("e.payload.op").as("op"),
+          col("e.payload.source.lsn").as("lsn"),
+          coalesce(col("e.payload.before.doc_id"), col("e.payload.after.doc_id")).as("doc_id"),
+          col("e.payload.before.n_tok").as("b_ntok"),
+          col("e.payload.before.source").as("b_src"),
+          col("e.payload.after.n_tok").as("a_ntok"),
+          col("e.payload.after.source").as("a_src"))
+    }),
 
     // dedup-on-ingest: near-dups of each INCOMING doc among the
     // EXISTING corpus — band-join is incoming×existing only, so
@@ -1582,6 +1627,31 @@ object SparkEntry {
     "q92_ann_ivf_frozen" ->
       graft.operators.Similarity.ivfTopKWithSql(
         "vec_id % 100 = 0", k = 5, FrozenIvfCentroids, nProbe = 2),
+
+    // q93: batch split at the event-id midpoint; batch-0 winners are
+    // the inserts (envelope op c, no before); batch-1 winners update or
+    // delete, their before = the batch-0 winner of the same key
+    "q93_preimage_export" ->
+      """WITH m AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events),
+        |r0 AS (SELECT 'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id, event_id AS lsn,
+        |        ((event_id % 7) + 1)::BIGINT AS n_tok, event_type AS source,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |       FROM events, m WHERE event_id <= m.mid),
+        |w0 AS (SELECT doc_id, lsn, n_tok, source FROM r0 WHERE rn = 1),
+        |r1 AS (SELECT 'u' || lpad(user_id::VARCHAR, 6, '0') AS doc_id, event_id AS lsn,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        ((event_id % 7) + 1)::BIGINT AS n_tok, event_type AS source,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |       FROM events, m WHERE event_id > m.mid),
+        |w1 AS (SELECT doc_id, lsn, op, n_tok, source FROM r1 WHERE rn = 1)
+        |SELECT 'c' AS op, lsn, doc_id, NULL::BIGINT AS b_ntok, NULL::VARCHAR AS b_src,
+        |       n_tok AS a_ntok, source AS a_src FROM w0
+        |UNION ALL
+        |SELECT CASE WHEN w1.op = 'D' THEN 'd' ELSE 'u' END AS op, w1.lsn, w1.doc_id,
+        |       w0.n_tok AS b_ntok, w0.source AS b_src,
+        |       CASE WHEN w1.op = 'D' THEN NULL ELSE w1.n_tok END AS a_ntok,
+        |       CASE WHEN w1.op = 'D' THEN NULL ELSE w1.source END AS a_src
+        |FROM w1 LEFT JOIN w0 USING (doc_id)""".stripMargin,
 
     "q24_multimodal_decode" -> graft.operators.Multimodal.decodedMetadataSql,
 
