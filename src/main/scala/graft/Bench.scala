@@ -218,7 +218,7 @@ object Bench {
           "q70_rebucket", "q77_ann_index_probe", "q78_schema_evolution",
           "q80_stream_replay", "q81_cdc_envelope", "q86_ann_index_delete",
           "q87_incremental_agg", "q88_stream_sessions", "q90_feed_mirror",
-          "q91_keyed_sink")
+          "q91_keyed_sink", "q93_preimage_export")
         .foreach { q =>
         try SparkEntry.queries(q)(spark1, sfDir).count()
         catch { case _: Throwable => () }
